@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+Numeric knobs and prompt/label literals carry the reference semantics
+(``/root/reference/src/config.py:47-62,156-163``). Unlike the reference's
+process-global singleton (``config.py:11-21``), this is a plain frozen
+dataclass shipped to workers inside closures/actor state — no globals, no
+client handles, safe to pickle into Ray tasks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # Page geometry / rasterization (reference: src/config.py:47-49, src/pdf_handler.py:11-13)
+    dpi: int = 130
+    white_threshold: int = 250
+    image_token_size: int = 28
+
+    # Batch windowing (reference: src/config.py:52)
+    pages_per_batch: int = 10
+    start_page: int = 1
+
+    # Inference envelope (reference: src/config.py:50-51)
+    max_tokens: int = 64_000
+    temperature: float = 0.1
+
+    # Retry policy (reference: src/config.py:56-58)
+    min_http_error_code: int = 400
+    max_retry_attempts: int = 3
+    exponential_backoff_base: int = 2
+
+    # Figure area filter, fraction of page (reference: src/config.py:61-62)
+    min_area_fraction: float = 0.05
+    max_area_fraction: float = 0.85
+
+    # Ray Data stage sizing (new — scale knobs, not reference semantics).
+    # Batches of binary page rows are kept small; text batches large.
+    text_batch_size: int = 4096
+    binary_batch_size: int = 64
+    inference_concurrency: tuple[int, int] = (2, 8)
+
+    # Skew handling: number of salt buckets for hot domains.
+    salt_buckets: int = 16
+
+
+# Message-assembly literals (reference: src/config.py:156-163). These are part
+# of the byte-exact contract for context/breadcrumb rendering.
+PRECEDING_CONTEXT_HEADER = "## PRECEDING CONTEXT (Read-Only, use for flow continuity):"
+START_OF_DOCUMENT_PLACEHOLDER = "[Start of Document]"
+NEW_IMAGES_HEADER_PREFIX = "\n\n## NEW IMAGES TO TRANSCRIBE ("
+PAGE_LABEL_PREFIX = "\nPage "
+PAGE_LABEL_SUFFIX = ":\n"
+DOCUMENT_BREADCRUMB_HEADER = "### DOCUMENT LOCATION BREADCRUMB\n"
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,1 @@
+"""Pure deterministic kernels — no Ray imports allowed in this subpackage."""
