@@ -20,8 +20,18 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    Derives the CC-style pages table deterministically from the sf0.001
+    documents table (BASELINE.json input_hint shape), then runs the full
+    extraction pipeline (dedup -> route -> HTML extract / page branch ->
+    union) with the stub inference backend and returns the lazy Dataset.
+    """
+    from qwen_ocr_ray.pipelines.extract import run_extraction
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset("/root/testdata/sf0.001")
+    return run_extraction(pages_path, approx_rows=600)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,207 @@
+"""Flagship pipeline: CC-style pages parquet -> extracted markdown per url.
+
+Two phases (SURVEY.md §3 "Target lifecycle"), joined by a kind-partitioned
+Parquet checkpoint so each branch reads ONLY its own rows and the expensive
+dedup shuffle runs exactly once:
+
+  Phase A (one shuffle):
+    read_parquet(url, warc_ts, html, lang)     # `text` distractor pruned at the read
+      -> exact dedup by url, first fetch wins  # hash-bucket shuffle on url
+      -> route by payload kind
+      -> write_parquet(routed_dir, partition_cols=["kind"])   # checkpoint
+
+  Phase B (no shuffle except the document fold):
+    kind=html    -> map_batches DOM-extract (stateless, hot)
+    kind=pages   -> explode -> optimize -> transcribe (actor pool)
+                    -> per-document fold    # hash-bucket shuffle on url
+    other kinds  -> passthrough error rows
+    union of the three branches -> write / return
+
+A Ray Data Dataset is a lazy graph: consuming one upstream from several
+branches re-executes it per branch, so the checkpoint is both the resume
+point and the fan-out point. At 10^12 rows the routed checkpoint is a full
+write + pruned re-reads — cheaper than re-running the dedup shuffle per
+branch, and it makes phase B restartable without redoing phase A.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from qwen_ocr_ray.config import DEFAULT_CONFIG, EngineConfig
+from qwen_ocr_ray.stages.dedup_url import dedup_first_fetch
+from qwen_ocr_ray.stages.extract_html import OUT_SCHEMA, extract_html_batch, passthrough_batch
+from qwen_ocr_ray.stages.inference import TranscribePages
+from qwen_ocr_ray.stages.pages_branch import explode_pages, fold_documents, optimize_pages_batch
+from qwen_ocr_ray.stages.route import add_kind_column
+
+PASSTHROUGH_ERRORS = {
+    "empty": "empty payload",
+    "invalid": "invalid utf-8 payload",
+    "pdf": "NotImplemented: PDF rasterization is stubbed in this sandbox (no poppler)",
+}
+
+
+def load_pages(pages_path: str) -> "ray.data.Dataset":
+    """Column-pruned read: the `text` distractor column never leaves storage."""
+    return ray.data.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+
+
+def route_and_checkpoint(
+    pages_path: str,
+    routed_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    approx_rows: int | None = None,
+    force: bool = False,
+    num_buckets: int | None = None,
+) -> str:
+    """Phase A. Idempotent: skipped when the checkpoint's _SUCCESS marker
+    exists (the coarse resume point; per-shard manifests live in
+    pipelines/sharded.py)."""
+    success = os.path.join(routed_dir, "_SUCCESS")
+    if os.path.exists(success) and not force:
+        return routed_dir
+    ds = dedup_first_fetch(
+        load_pages(pages_path), approx_rows=approx_rows, num_buckets=num_buckets
+    )
+    ds = ds.map_batches(add_kind_column, batch_format="pyarrow", batch_size=cfg.binary_batch_size)
+    ds.write_parquet(routed_dir, partition_cols=["kind"])
+    with open(success, "w") as f:
+        f.write("ok")
+    return routed_dir
+
+
+def _read_kind(routed_dir: str, kind: str) -> "ray.data.Dataset | None":
+    path = os.path.join(routed_dir, f"kind={kind}")
+    if not os.path.isdir(path):
+        return None
+    ds = ray.data.read_parquet(path)
+    # this Ray version surfaces the hive partition column on read; restore it
+    # only if a future version drops it, and normalize dictionary encoding
+    def fix_kind(t: pa.Table, k: str = kind) -> pa.Table:
+        if "kind" in t.column_names:
+            t = t.drop_columns(["kind"])
+        return t.append_column("kind", pa.array([k] * t.num_rows, pa.string()))
+
+    return ds.map_batches(fix_kind, batch_format="pyarrow")
+
+
+def _pad_doc_schema(t: pa.Table) -> pa.Table:
+    """Align html/passthrough rows to the union schema (pages-branch metric
+    columns null)."""
+    n = t.num_rows
+    return (
+        t.append_column("n_pages", pa.nulls(n, pa.int32()))
+        .append_column("final_breadcrumb", pa.nulls(n, pa.string()))
+        .append_column("input_tokens", pa.nulls(n, pa.int64()))
+        .append_column("output_tokens", pa.nulls(n, pa.int64()))
+    )
+
+
+def build_pages_branch(
+    pages_rows: "ray.data.Dataset",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    approx_docs: int | None = None,
+    backend: str = "stub",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    page_rows = (
+        pages_rows.map_batches(
+            lambda t, c=cfg: explode_pages(t, c),
+            batch_format="pyarrow",
+            batch_size=cfg.binary_batch_size,
+        )
+        .map_batches(
+            lambda t, c=cfg: optimize_pages_batch(t, c),
+            batch_format="pyarrow",
+            batch_size=cfg.binary_batch_size,
+        )
+        .map_batches(
+            TranscribePages,
+            fn_constructor_kwargs={"cfg": cfg, "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.binary_batch_size,
+            concurrency=cfg.inference_concurrency,
+            num_cpus=1,
+        )
+        .map_batches(  # page payloads are dead weight past transcription
+            lambda t: t.drop_columns(["image", "width", "height"]), batch_format="pyarrow"
+        )
+    )
+    return fold_documents(page_rows, approx_docs=approx_docs, num_buckets=num_buckets)
+
+
+def run_extraction(
+    pages_path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    routed_dir: str | None = None,
+    approx_rows: int | None = None,
+    backend: str = "stub",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Build the extraction Dataset (runs phase A eagerly if needed, returns
+    the lazy phase-B union). ``num_buckets`` overrides both shuffles' bucket
+    count (tests use it to prove distribution invariance)."""
+    if routed_dir is None:
+        import hashlib
+
+        tag = hashlib.md5(os.path.abspath(pages_path).encode()).hexdigest()[:12]
+        routed_dir = f"/tmp/qor_routed/{tag}"
+    os.makedirs(routed_dir, exist_ok=True)
+    route_and_checkpoint(
+        pages_path, routed_dir, cfg, approx_rows=approx_rows, num_buckets=num_buckets
+    )
+
+    branches: list[ray.data.Dataset] = []
+
+    html_rows = _read_kind(routed_dir, "html")
+    if html_rows is not None:
+        branches.append(
+            html_rows.map_batches(
+                extract_html_batch, batch_format="pyarrow", batch_size=cfg.text_batch_size
+            ).map_batches(_pad_doc_schema, batch_format="pyarrow")
+        )
+
+    for kind in ("empty", "invalid", "pdf"):
+        rows = _read_kind(routed_dir, kind)
+        if rows is not None:
+            branches.append(
+                rows.map_batches(
+                    lambda t: _pad_doc_schema(passthrough_batch(t, PASSTHROUGH_ERRORS)),
+                    batch_format="pyarrow",
+                )
+            )
+
+    pages_rows = _read_kind(routed_dir, "pages")
+    if pages_rows is not None:
+        branches.append(
+            build_pages_branch(
+                pages_rows, cfg, approx_docs=approx_rows, backend=backend,
+                num_buckets=num_buckets,
+            )
+        )
+
+    if not branches:
+        return ray.data.from_arrow(
+            pa.table({n: [] for n in OUT_SCHEMA.names}, schema=OUT_SCHEMA)
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
+def extract_to_parquet(
+    pages_path: str, out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, **kw
+) -> str:
+    ds = run_extraction(pages_path, cfg, **kw)
+    ds.write_parquet(out_dir)
+    return out_dir

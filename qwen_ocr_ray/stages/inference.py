@@ -1,0 +1,139 @@
+"""Stateful inference stage: the actor-pool seam for VLM transcription.
+
+The reference's per-batch API calls (``/root/reference/src/models/document_job.py:65-161``
+text, ``:163-273`` figures) map to a callable-CLASS ``map_batches`` stage:
+backend/client construction happens once per actor in ``__init__``, per-batch
+work in ``__call__`` (SURVEY.md §2.3 A1/A2). Two backends share the seam:
+
+  * ``StubBackend`` — deterministic pure function of row content
+    (FIXTURES.md §4); used by tests and bench so the golden path never
+    depends on a live VLM.
+  * ``OpenAICompatBackend`` — the production path: batched requests with
+    in-actor retry (``2**attempt`` backoff, HTTP >= 400 only, matching
+    config.py:56-58 semantics). Gated behind an import-try: the sandbox has
+    no network and no openai package, so constructing it raises a clear
+    NotImplementedError; the Ray-side plumbing is identical to the stub's.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from qwen_ocr_ray.config import EngineConfig, DEFAULT_CONFIG
+from qwen_ocr_ray.functions.stub_vlm import stub_figures, stub_page_markdown
+
+
+class StubBackend:
+    """Deterministic transcription/figure backend (no I/O, no state)."""
+
+    def transcribe_page(self, page_num: int, image_bytes: bytes) -> str:
+        return stub_page_markdown(page_num, image_bytes)
+
+    def detect_figures(self, page_num: int, image_bytes: bytes) -> list[dict]:
+        return stub_figures(page_num, image_bytes)
+
+
+class OpenAICompatBackend:
+    """Live OpenAI-compatible VLM backend (reference semantics: retry x3 on
+    HTTP >= 400 with 2**attempt backoff, document_job.py:132-161)."""
+
+    def __init__(self, cfg: EngineConfig, base_url: str, api_key: str, model: str):
+        try:
+            from openai import OpenAI  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "openai client not available in this environment; "
+                "use StubBackend (deterministic) instead"
+            ) from e
+        self.cfg = cfg
+        raise NotImplementedError("live VLM backend requires network access")
+
+    def _retry(self, fn):
+        cfg = self.cfg
+        last = None
+        for attempt in range(cfg.max_retry_attempts):
+            try:
+                return fn()
+            except Exception as e:  # APIStatusError shape: .status_code
+                status = getattr(e, "status_code", None)
+                if status is None or status < cfg.min_http_error_code:
+                    raise
+                last = e
+                if attempt < cfg.max_retry_attempts - 1:
+                    time.sleep(cfg.exponential_backoff_base**attempt)
+        raise RuntimeError("Max retries exceeded") from last
+
+
+class TranscribePages:
+    """Actor-pool stage: page rows -> page rows + ``md`` + ``output_tokens``.
+
+    Use with ``ds.map_batches(TranscribePages, fn_constructor_kwargs=...,
+    concurrency=(min, max), batch_size=B, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, backend: str = "stub", **backend_kwargs):
+        self.cfg = cfg
+        if backend == "stub":
+            self.backend = StubBackend()
+        elif backend == "openai":
+            self.backend = OpenAICompatBackend(cfg, **backend_kwargs)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mds = [
+            self.backend.transcribe_page(pn, raw)
+            for pn, raw in zip(batch["page_num"].to_pylist(), batch["image"].to_pylist())
+        ]
+        md_arr = pa.array(mds, pa.string())
+        # Output-token accounting: whitespace token count stands in for the
+        # reference's tiktoken re-encode (document_job.py:115 — an O(n^2)
+        # inefficiency there; counted once per row here).
+        out_tokens = pa.array([len(m.split()) for m in mds], pa.int64())
+        return batch.append_column("md", md_arr).append_column("output_tokens", out_tokens)
+
+
+class DetectFigures:
+    """Actor-pool stage: page rows -> exploded figure-metadata rows.
+
+    The analogue of the structured-output figure call
+    (document_job.py:163-273): emits one row per detected figure with the
+    normalized bbox as flat int32 columns (list<struct> flattened — friendlier
+    to vectorized filtering than nested structs)."""
+
+    SCHEMA = pa.schema(
+        [
+            ("url", pa.string()),
+            ("page_num", pa.int32()),
+            ("fig_number", pa.int32()),
+            ("x1", pa.int32()),
+            ("y1", pa.int32()),
+            ("x2", pa.int32()),
+            ("y2", pa.int32()),
+            ("caption", pa.string()),
+            ("element_type", pa.string()),
+        ]
+    )
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, backend: str = "stub", **backend_kwargs):
+        self.cfg = cfg
+        self.backend = StubBackend() if backend == "stub" else OpenAICompatBackend(cfg, **backend_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {n: [] for n in self.SCHEMA.names}
+        for url, pn, raw in zip(
+            batch["url"].to_pylist(),
+            batch["page_num"].to_pylist(),
+            batch["image"].to_pylist(),
+        ):
+            for fig in self.backend.detect_figures(pn, raw):
+                cols["url"].append(url)
+                cols["page_num"].append(fig["page_number"])
+                cols["fig_number"].append(fig["fig_number"])
+                for k in ("x1", "y1", "x2", "y2"):
+                    cols[k].append(fig[k])
+                cols["caption"].append(fig.get("caption"))
+                cols["element_type"].append(fig.get("element_type", "other"))
+        return pa.table(cols, schema=self.SCHEMA)

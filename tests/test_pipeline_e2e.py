@@ -1,0 +1,77 @@
+"""End-to-end golden runs (FIXTURES.md §1, SURVEY.md §5.2-5.3):
+
+  - full pipeline over the synthetic sf0.001 pages table with the stub
+    backend -> extracted text per url compared BYTE-IDENTICAL to goldens
+  - exact URL dedup: one output row per unique url, first fetch wins
+  - distribution invariance: a different bucket count (different physical
+    partitioning) yields the identical (url -> text) mapping
+"""
+
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from qwen_ocr_ray.pipelines.extract import run_extraction
+from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(ray_session, sf_dir, tmp_path_factory):
+    pages_path, golden_path = ensure_pages_dataset(sf_dir)
+    return pages_path, golden_path, tmp_path_factory.mktemp("routed")
+
+
+@pytest.fixture(scope="module")
+def extracted(synth) -> pd.DataFrame:
+    pages_path, _, routed_root = synth
+    ds = run_extraction(
+        pages_path, routed_dir=str(routed_root / "a"), approx_rows=600
+    )
+    return ds.to_pandas()
+
+
+def test_byte_identical_per_url(synth, extracted):
+    _, golden_path, _ = synth
+    golden = pq.read_table(golden_path).to_pandas()
+    m = extracted.merge(golden, on="url", suffixes=("", "_exp"))
+    assert len(m) == len(golden) == len(extracted)
+    mismatched = m[m.text != m.text_exp]
+    assert mismatched.empty, mismatched[["url", "kind"]].head()
+    # every branch actually exercised
+    assert set(m.kind.unique()) >= {"html", "pages", "empty", "invalid"}
+
+
+def test_dedup_first_fetch_wins(synth, extracted):
+    pages_path, golden_path, _ = synth
+    raw = pq.read_table(pages_path, columns=["url"]).to_pandas()
+    assert len(raw) > raw.url.nunique(), "fixture must contain duplicate urls"
+    assert len(extracted) == raw.url.nunique()
+    assert not extracted.url.duplicated().any()
+    # duplicates carry a later-ts 'stale refetch' payload; first fetch must win
+    assert not extracted.text.str.contains("stale refetch").any()
+
+
+def test_error_columns(extracted):
+    by_kind = extracted.groupby("kind")
+    assert (by_kind.get_group("empty").error == "empty payload").all()
+    assert (by_kind.get_group("invalid").error == "invalid utf-8 payload").all()
+    assert by_kind.get_group("html").error.isna().all()
+    pages = by_kind.get_group("pages")
+    assert (pages.n_pages >= 3).all()
+    assert (pages.input_tokens > 0).all()
+    assert pages.final_breadcrumb.str.startswith("### DOCUMENT LOCATION BREADCRUMB").all()
+
+
+def test_distribution_invariance(synth, extracted):
+    pages_path, _, routed_root = synth
+    ds2 = run_extraction(
+        pages_path, routed_dir=str(routed_root / "b"), approx_rows=600, num_buckets=3
+    )
+    out2 = ds2.to_pandas()
+    a = extracted.sort_values("url").reset_index(drop=True)
+    b = out2.sort_values("url").reset_index(drop=True)
+    assert a.url.tolist() == b.url.tolist()
+    assert a.text.tolist() == b.text.tolist()
+    shutil.rmtree(routed_root / "b", ignore_errors=True)

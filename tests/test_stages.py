@@ -1,0 +1,138 @@
+"""Unit tests for stage kernels that don't need a Ray session: routing,
+pagepack codec, bucketed dedup kernel, explode/optimize, stub determinism."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from qwen_ocr_ray.functions.stub_vlm import stub_page_markdown, stub_transcribe_document
+from qwen_ocr_ray.sources.pagepack import is_pagepack, pack_pages, unpack_pages
+from qwen_ocr_ray.stages.dedup_url import first_per_key
+from qwen_ocr_ray.stages.inference import DetectFigures, StubBackend, TranscribePages
+from qwen_ocr_ray.stages.pages_branch import explode_pages, fold_documents_in_bucket, optimize_pages_batch
+from qwen_ocr_ray.stages.route import classify_payload
+
+
+class TestPagepack:
+    def test_roundtrip(self):
+        pages = [(2, 3, bytes(range(18))), (1, 1, b"\x01\x02\x03")]
+        blob = pack_pages(pages)
+        assert is_pagepack(blob)
+        assert unpack_pages(blob) == pages
+
+    def test_trailing_garbage_rejected(self):
+        blob = pack_pages([(1, 1, b"\x00\x00\x00")]) + b"x"
+        with pytest.raises(ValueError):
+            unpack_pages(blob)
+
+    def test_size_mismatch_rejected(self):
+        with pytest.raises(ValueError):
+            pack_pages([(2, 2, b"short")])
+
+
+class TestRouting:
+    def test_kinds(self):
+        assert classify_payload(b"") == "empty"
+        assert classify_payload(None) == "empty"
+        assert classify_payload(pack_pages([(1, 1, b"\x00\x00\x00")])) == "pages"
+        assert classify_payload(b"%PDF-1.7 ...") == "pdf"
+        assert classify_payload("<html>ok</html>".encode()) == "html"
+        assert classify_payload(b"\xff\xfe\x00\x9c") == "invalid"
+
+
+class TestDedupKernel:
+    def test_first_per_key_orders_by_ts(self):
+        t = pa.table(
+            {
+                "url": ["b", "a", "b", "a"],
+                "warc_ts": pa.array(
+                    [dt.datetime(2025, 1, d) for d in (5, 2, 1, 9)], pa.timestamp("us")
+                ),
+                "html": [b"b5", b"a2", b"b1", b"a9"],
+            }
+        )
+        out = first_per_key(t, "url", [("warc_ts", "ascending"), ("html", "ascending")])
+        rows = sorted(zip(out["url"].to_pylist(), out["html"].to_pylist()))
+        assert rows == [("a", b"a2"), ("b", b"b1")]
+
+    def test_empty(self):
+        t = pa.table({"url": pa.array([], pa.string()), "warc_ts": pa.array([], pa.timestamp("us")), "html": pa.array([], pa.binary())})
+        assert first_per_key(t, "url", [("warc_ts", "ascending")]).num_rows == 0
+
+
+def _doc_batch(n_pages=12, url="https://x/1"):
+    from qwen_ocr_ray.sources.pagepack import pack_pages
+    import numpy as np
+
+    pages = []
+    for p in range(n_pages):
+        img = np.full((20, 30, 3), 255, dtype=np.uint8)
+        img[5 : 10 + p % 5, 4:20] = p % 11
+        pages.append((30, 20, img.tobytes()))
+    return pa.table(
+        {
+            "url": [url],
+            "warc_ts": pa.array([dt.datetime(2025, 1, 1)], pa.timestamp("us")),
+            "lang": ["en"],
+            "html": [pack_pages(pages)],
+        }
+    )
+
+
+class TestPagesBranch:
+    def test_explode_and_batch_nums(self):
+        page_rows = explode_pages(_doc_batch(n_pages=25))
+        assert page_rows.num_rows == 25
+        assert page_rows["page_num"].to_pylist() == list(range(1, 26))
+        assert page_rows["batch_num"].to_pylist() == [(p - 1) // 10 for p in range(1, 26)]
+
+    def test_optimize_crops(self):
+        page_rows = explode_pages(_doc_batch(n_pages=2))
+        opt = optimize_pages_batch(page_rows)
+        assert opt["width"].to_pylist() == [16, 16]
+        assert all(h >= 5 for h in opt["height"].to_pylist())
+        assert "input_tokens" in opt.column_names
+
+    def test_fold_matches_local_reference(self):
+        page_rows = optimize_pages_batch(explode_pages(_doc_batch(n_pages=25)))
+        transcribed = TranscribePages()(page_rows).drop_columns(["image", "width", "height"])
+        folded = fold_documents_in_bucket(transcribed)
+        assert folded.num_rows == 1
+        expected_text, expected_crumb = stub_transcribe_document(
+            list(zip(page_rows["page_num"].to_pylist(), opt_bytes(page_rows)))
+        )
+        assert folded["text"][0].as_py() == expected_text
+        assert folded["final_breadcrumb"][0].as_py() == expected_crumb
+        assert folded["n_pages"][0].as_py() == 25
+
+
+def opt_bytes(optimized_rows: pa.Table) -> list[bytes]:
+    return optimized_rows["image"].to_pylist()
+
+
+class TestStubDeterminism:
+    def test_pure_function_of_content(self):
+        assert stub_page_markdown(3, b"abc") == stub_page_markdown(3, b"abc")
+        assert stub_page_markdown(3, b"abc") != stub_page_markdown(4, b"abc")
+        assert stub_page_markdown(3, b"abc") != stub_page_markdown(3, b"abd")
+
+    def test_header_levels_cycle(self):
+        assert stub_page_markdown(1, b"x").startswith("# ")
+        assert stub_page_markdown(2, b"x").startswith("## ")
+        assert stub_page_markdown(3, b"x").startswith("### ")
+        assert stub_page_markdown(4, b"x").startswith("# ")
+
+    def test_figure_detector_schema_and_filterability(self):
+        det = DetectFigures()
+        batch = optimize_pages_batch(explode_pages(_doc_batch(n_pages=30)))
+        figs = det(batch)
+        assert figs.schema.equals(DetectFigures.SCHEMA)
+        assert figs.num_rows > 0  # ~1 in 5 pages emits a figure
+        backend = StubBackend()
+        again = [
+            f
+            for pn, raw in zip(batch["page_num"].to_pylist(), batch["image"].to_pylist())
+            for f in backend.detect_figures(pn, raw)
+        ]
+        assert figs.num_rows == len(again)
