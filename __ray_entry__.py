@@ -41,7 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from qwen_ocr_ray.pipelines.queries import QUERIES
+
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -51,4 +53,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from qwen_ocr_ray.pipelines.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,527 @@
+"""Operator-level query suite + DuckDB oracle SQL (driver correctness gate).
+
+One entry per operator class from SURVEY.md §2, expressed Ray-Data-first over
+the driver testdata tables. Every Ray result column is named IDENTICALLY to
+its SQL alias; float aggregates are rounded identically on both sides (cross-
+engine summation order differs in the last ulp — rounding makes the driver's
+exact value-hash meaningful).
+
+Scale patterns demonstrated (and relied on at 10^12 rows):
+  partial aggregation before groupby   agg_pricing_summary, events_hourly_stats
+  broadcast join (ray.put once)        segment_revenue, region_revenue
+  bucketed hash join (both sides big)  order_lineitem_join
+  bucketed first-per-key dedup         first_event_per_user
+  global sort avoided except top-k     top_orders
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from qwen_ocr_ray.stages.agg import grouped_sums
+from qwen_ocr_ray.stages.dedup_url import first_per_key
+from qwen_ocr_ray.stages.bucketing import add_bucket_column
+from qwen_ocr_ray.stages.join import broadcast_join, bucketed_hash_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _canon_floats(t: pa.Table, cols: list[str], ndigits: int = 4) -> pa.Table:
+    """Cross-engine float canonicalization: round, then cast float32.
+
+    Parallel/engine-specific summation order shifts the last ulp of a double;
+    rounding alone leaves adjacent doubles on either side of the decimal.
+    Casting the rounded value to float32 collapses 1-ulp neighbours to the
+    same bits, making the driver's exact value-hash stable. Oracle SQL does
+    the identical CAST(ROUND(x, n) AS REAL).
+    """
+    for c in cols:
+        t = t.set_column(
+            t.column_names.index(c), c,
+            pc.cast(pc.round(t[c], ndigits=ndigits), pa.float32()),
+        )
+    return t
+
+
+# --- filters / projections ----------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + computed column (SURVEY §2.2 M-class)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1995-06-01", "us"))),
+            pc.and_(pc.greater_equal(t["l_discount"], 0.02),
+                    pc.less_equal(t["l_discount"], 0.06)),
+        )
+        t = t.filter(mask)
+        rev = pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            ndigits=4,
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_quantity": t["l_quantity"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-06-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+"""
+
+
+# --- grouped aggregation with partial combine --------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: partial per-batch sums -> small final groupby (G1)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_disc_price(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+
+    out = grouped_sums(
+        ds.map_batches(add_disc_price, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols={
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+        },
+        count_name="count_order",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "avg_qty", pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64()))
+        )
+        t = _canon_floats(t, ["avg_qty"], 4)
+        return _canon_floats(t, ["sum_qty", "sum_base_price", "sum_disc_price"], 2)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 2) AS REAL)                           AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 2) AS REAL)                      AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS REAL) AS sum_disc_price,
+       COUNT(*)                                                          AS count_order,
+       CAST(ROUND(SUM(l_quantity) / COUNT(*), 4) AS REAL)                AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- broadcast join -----------------------------------------------------------
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer with the small side broadcast (J1 analogue)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, "o_custkey")
+    out = grouped_sums(
+        joined, keys=["c_mktsegment"], sum_cols={"o_totalprice": "total_revenue"},
+        count_name="n_orders",
+    )
+    return out.map_batches(lambda t: _canon_floats(t, ["total_revenue"], 2), batch_format="pyarrow")
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       CAST(ROUND(SUM(o_totalprice), 2) AS REAL) AS total_revenue,
+       COUNT(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_revenue(sf_dir: str):
+    """Multi-way broadcast of the dimension chain region<-nation<-customer (TPC-H Q5 shape)."""
+    import polars as pl
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    dim = (
+        pl.from_arrow(customer)
+        .join(pl.from_arrow(nation), left_on="c_nationkey", right_on="n_nationkey")
+        .join(pl.from_arrow(region), left_on="n_regionkey", right_on="r_regionkey")
+        .select(["c_custkey", "r_name"])
+        .rename({"c_custkey": "o_custkey"})
+        .to_arrow()
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, "o_custkey")
+    out = grouped_sums(joined, keys=["r_name"], sum_cols={"o_totalprice": "total_revenue"},
+                       count_name="n_orders")
+    return out.map_batches(lambda t: _canon_floats(t, ["total_revenue"], 2), batch_format="pyarrow")
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       CAST(ROUND(SUM(o_totalprice), 2) AS REAL) AS total_revenue,
+       COUNT(*)                    AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- bucketed hash join (both sides large) -----------------------------------
+
+def q_order_lineitem_join(sf_dir: str):
+    """Pre-aggregate lineitem per order, then bucketed hash join to orders."""
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+
+    per_order = grouped_sums(
+        lineitem.map_batches(add_rev, batch_format="pyarrow"),
+        keys=["l_orderkey"], sum_cols={"rev": "order_revenue"}, count_name="n_items",
+    ).map_batches(
+        lambda t: _canon_floats(t, ["order_revenue"], 2).rename_columns(
+            ["o_orderkey" if n == "l_orderkey" else n for n in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    left_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("order_revenue", pa.float64()), ("n_items", pa.int64())]
+    )
+    right_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64())]
+    )
+    return bucketed_hash_join(
+        per_order, orders, "o_orderkey", left_schema, right_schema, approx_rows=200_000
+    )
+
+
+SQL_ORDER_LINEITEM_JOIN = """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS REAL) AS order_revenue,
+       COUNT(*)                                             AS n_items,
+       ANY_VALUE(o_orderstatus)                             AS o_orderstatus,
+       ANY_VALUE(o_totalprice)                              AS o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
+# --- dedup / first-per-key ----------------------------------------------------
+
+def q_first_event_per_user(sf_dir: str):
+    """Exact first-wins dedup, bucketed (the url-dedup kernel on events)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return add_bucket_column(
+            t.set_column(t.column_names.index("user_id"), "user_id",
+                         pc.cast(t["user_id"], pa.string())),
+            "user_id", 16,
+        )
+
+    def first_in_bucket(t: pa.Table) -> pa.Table:
+        out = first_per_key(t, "user_id", [("ts", "ascending"), ("event_id", "ascending")])
+        out = out.drop_columns(["bucket"])
+        return out.set_column(out.column_names.index("user_id"), "user_id",
+                              pc.cast(out["user_id"], pa.int64()))
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_in_bucket, batch_format="pyarrow")
+    )
+
+
+SQL_FIRST_EVENT_PER_USER = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+# --- sort / limit / top-k ------------------------------------------------------
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- distinct ------------------------------------------------------------------
+
+def q_distinct_status_priority(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    # per-batch distinct (combiner) then a tiny global groupby-distinct
+    partial = ds.map_batches(
+        lambda t: t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return (
+        partial.groupby(["o_orderstatus", "o_orderpriority"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+SQL_DISTINCT_STATUS_PRIORITY = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+# --- windowed aggregation (streaming analogue) --------------------------------
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = grouped_sums(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        keys=["event_type", "window_start"],
+        sum_cols={"value": "sum_value"},
+        count_name="n_events",
+    )
+    return out.map_batches(lambda t: _canon_floats(t, ["sum_value"], 4), batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(ROUND(SUM(value), 4) AS REAL) AS sum_value,
+       COUNT(*)             AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# --- ordered per-key fold (window function analogue) --------------------------
+
+def q_events_running_total(sf_dir: str):
+    """Per-user running sum in (ts, event_id) order — the ordered-fold pattern
+    (document assembly's SQL-expressible cousin; SURVEY §2.9 W2)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return add_bucket_column(
+            t.append_column("user_key", pc.cast(t["user_id"], pa.string())), "user_key", 16
+        ).drop_columns(["user_key"])
+
+    def running(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["bucket"]))
+        df = df.sort(["user_id", "ts", "event_id"]).with_columns(
+            pl.col("value").cum_sum().over("user_id").round(4).cast(pl.Float32).alias("running_value")
+        )
+        return df.drop("value").to_arrow()
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id, ts, user_id,
+       CAST(ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS REAL) AS running_value
+FROM events
+"""
+
+
+# --- text analysis -------------------------------------------------------------
+
+def q_token_stats_by_lang(sf_dir: str):
+    """Whitespace token counting (F-class; SURVEY §2.8) aggregated per lang."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.float64()
+        )
+        return pa.table(
+            {"lang": t["lang"], "n_tokens": n_tokens,
+             "n_chars": pc.cast(t["n_chars"], pa.float64())}
+        )
+
+    out = grouped_sums(
+        ds.map_batches(tokens, batch_format="pyarrow"),
+        keys=["lang"],
+        sum_cols={"n_tokens": "sum_tokens", "n_chars": "sum_chars"},
+        count_name="n_docs",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_docs"], pa.float64())
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "avg_tokens": pc.cast(pc.round(pc.divide(t["sum_tokens"], n), ndigits=4), pa.float32()),
+                "avg_chars": pc.cast(pc.round(pc.divide(t["sum_chars"], n), ndigits=4), pa.float32()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS_BY_LANG = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(ROUND(SUM(LEN(string_split(text, ' '))) / CAST(COUNT(*) AS DOUBLE), 4) AS REAL) AS avg_tokens,
+       CAST(ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 4) AS REAL)                      AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Content fingerprinting: md5 of text (dedup building block)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(digests, pa.string())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+# --- similarity search ---------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k vs a broadcast query vector (numpy matmul per
+    batch); the LSH-bucketed variant lives in stages/similarity.py."""
+    query = None
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    for batch in emb.to_batches():
+        ids = batch["vec_id"].to_pylist()
+        if 0 in ids:
+            query = np.asarray(batch["embedding"].to_pylist()[ids.index(0)], dtype=np.float64)
+            break
+    qn = query / np.linalg.norm(query)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qn) / np.where(norms == 0, 1.0, norms)
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "score": pa.array(np.round(sims, 6).astype(np.float32), pa.float32())}
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(5)
+    )
+
+
+SQL_ANN_TOPK = """
+SELECT vec_id,
+       CAST(ROUND(list_cosine_similarity(
+            CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS REAL) AS score
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 5
+"""
+
+
+# --- flagship (rows-only check; not SQL-expressible) --------------------------
+
+def q_extract_pages(sf_dir: str):
+    """The flagship extraction pipeline over the synthetic pages table derived
+    from this sf's documents (no SQL oracle: DOM extraction + stub VLM)."""
+    from qwen_ocr_ray.pipelines.extract import run_extraction
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    n = pq.read_metadata(pages_path).num_rows
+    ds = run_extraction(pages_path, approx_rows=n)
+    return ds.select_columns(["url", "kind", "text", "n_chars", "lang"])
+
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "region_revenue": q_region_revenue,
+    "order_lineitem_join": q_order_lineitem_join,
+    "first_event_per_user": q_first_event_per_user,
+    "top_orders": q_top_orders,
+    "distinct_status_priority": q_distinct_status_priority,
+    "events_hourly": q_events_hourly,
+    "events_running_total": q_events_running_total,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_topk": q_ann_topk,
+    "extract_pages": q_extract_pages,
+}
+
+ORACLE = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "region_revenue": SQL_REGION_REVENUE,
+    "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
+    "first_event_per_user": SQL_FIRST_EVENT_PER_USER,
+    "top_orders": SQL_TOP_ORDERS,
+    "distinct_status_priority": SQL_DISTINCT_STATUS_PRIORITY,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+    "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "ann_topk": SQL_ANN_TOPK,
+    # extract_pages: intentionally no oracle (stub-VLM + DOM extraction)
+}

@@ -1,0 +1,112 @@
+"""Join strategies (SURVEY.md §2.4; ray_guide "Joins and lookups").
+
+Two patterns, chosen by side size:
+
+  * ``broadcast_join`` — small side (dimension table) is ``ray.put`` once and
+    looked up inside every map_batches task via a vectorized polars join.
+    No shuffle. The distributed analogue of the reference's metadata->page
+    linear-scan lookup (/root/reference/src/pdf_handler.py:102).
+  * ``bucketed_hash_join`` — both sides large: tag each side, pad to a common
+    schema, union, hash-bucket on the key, and join per bucket (one Python
+    call per bucket, vectorized polars join inside). This is the explicit
+    partitioned hash join; bucket count bounds per-task memory.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+
+import ray
+
+from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    key: str,
+    *,
+    how: str = "inner",
+    small_columns: list[str] | None = None,
+):
+    """ds ⋈ small on ``key``; ``small`` ships to the object store ONCE."""
+    if small_columns is not None:
+        small = small.select([key, *[c for c in small_columns if c != key]])
+    small_ref = ray.put(small)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        small_tbl: pa.Table = ray.get(small_ref)
+        left = pl.from_arrow(batch)
+        right = pl.from_arrow(small_tbl)
+        return left.join(right, on=key, how=how).to_arrow()
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _pad_to(batch: pa.Table, schema: pa.Schema, side: int) -> pa.Table:
+    arrays = []
+    for f in schema:
+        if f.name == "__side":
+            arrays.append(pa.array([side] * batch.num_rows, pa.int8()))
+        elif f.name in batch.column_names:
+            arrays.append(batch[f.name].cast(f.type))
+        else:
+            arrays.append(pa.nulls(batch.num_rows, f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    key: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    *,
+    approx_rows: int | None = None,
+    num_buckets: int | None = None,
+):
+    """Inner join of two large Datasets on ``key``.
+
+    Schemas must be passed explicitly (``ds.schema()`` would trigger
+    execution). Output columns: left columns, then right columns minus the
+    key. Keys are assumed un-skewed or pre-salted by the caller.
+    """
+    b = num_buckets or pick_num_buckets(approx_rows)
+    lnames = [f.name for f in left_schema]
+    rnames = [f.name for f in right_schema if f.name != key]
+    union_fields = [pa.field("__side", pa.int8())]
+    union_fields += list(left_schema)
+    union_fields += [f for f in right_schema if f.name != key]
+    union_schema = pa.schema(union_fields)
+    out_schema = pa.schema(
+        [left_schema.field(n) for n in lnames]
+        + [right_schema.field(n) for n in rnames]
+    )
+
+    tagged_left = left.map_batches(
+        lambda t: add_bucket_column(_pad_to(t, union_schema, 0), key, b),
+        batch_format="pyarrow",
+    )
+    tagged_right = right.map_batches(
+        lambda t: add_bucket_column(_pad_to(t, union_schema, 1), key, b),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        sides = t["__side"]
+        import pyarrow.compute as pc
+
+        lt = t.filter(pc.equal(sides, 0)).select(lnames)
+        rt = t.filter(pc.equal(sides, 1)).select([key, *rnames])
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
+        joined = pl.from_arrow(lt).join(pl.from_arrow(rt), on=key, how="inner")
+        return joined.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return (
+        tagged_left.union(tagged_right)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

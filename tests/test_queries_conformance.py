@@ -1,0 +1,48 @@
+"""Driver conformance (SURVEY.md §5.4): every queries() entry with an oracle
+is executed via Ray AND via DuckDB on the same parquet tables, and compared
+order-insensitively on values — mirroring the driver's CORRECTNESS gate."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from qwen_ocr_ray.pipelines.queries import ORACLE, QUERIES
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, ray_session, oracle_con, sf_dir):
+    ray_result = QUERIES[name](sf_dir)
+    got = normalize(ray_result.to_pandas())
+    exp = normalize(oracle_con.execute(ORACLE[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_all_queries_registered():
+    assert set(ORACLE) <= set(QUERIES)
+    assert "extract_pages" in QUERIES  # flagship present even without oracle
