@@ -1,0 +1,145 @@
+"""Benchmark driver: headline flagship extraction + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the headline twice in FRESH processes at 8 and 32 CPUs on the
+same (pre-generated, page-cache-warm) input and reports throughput at both
+plus scaling efficiency = (t_8 / t_32) / (32/8)  — the sandbox evidence for
+the north_rule's N->4N criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "filter_project",
+    "segment_revenue",
+    "region_revenue",
+    "order_lineitem_join",
+    "first_event_per_user",
+    "events_hourly",
+    "events_running_total",
+    "top_orders",
+    "token_stats_by_lang",
+    "doc_fingerprints",
+    "ann_topk",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from qwen_ocr_ray.pipelines.extract import run_extraction
+    from qwen_ocr_ray.pipelines.queries import QUERIES
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+    import pyarrow.parquet as pq
+
+    # untimed: generate + warm the page cache (guide: measure compute+shuffle,
+    # not the first disk read)
+    pages_path, _ = ensure_pages_dataset(SF_DIR)
+    n_rows = pq.read_metadata(pages_path).num_rows
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    # headline: flagship extraction, fresh checkpoint dir (no resume credit)
+    routed_dir = f"/tmp/qor_bench_routed_{os.getpid()}"
+    out_dir = f"/tmp/qor_bench_out_{os.getpid()}"
+    shutil.rmtree(routed_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = run_extraction(pages_path, routed_dir=routed_dir, approx_rows=n_rows)
+    ds.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+    n_docs = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    shutil.rmtree(routed_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        # consume without driver materialization of large results
+        for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            pass
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "extraction_pipeline_sec_sf",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on identical, pre-warmed input."""
+    # pre-generate the synthetic input once so both runs see a warm cache
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    ensure_pages_dataset(SF_DIR)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

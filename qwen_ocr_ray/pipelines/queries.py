@@ -33,7 +33,9 @@ from qwen_ocr_ray.stages.join import broadcast_join, bucketed_hash_join
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+
+    return sized_read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _canon_floats(t: pa.Table, cols: list[str], ndigits: int = 4) -> pa.Table:
@@ -201,32 +203,87 @@ GROUP BY r_name
 # --- bucketed hash join (both sides large) -----------------------------------
 
 def q_order_lineitem_join(sf_dir: str):
-    """Pre-aggregate lineitem per order, then bucketed hash join to orders."""
+    """Large-large join with ONE shuffle: lineitem and orders are co-bucketed
+    on the order key, then each bucket does the lineitem aggregation AND the
+    join vectorized (polars) in a single pass — aggregate-then-join without a
+    second exchange."""
+    import polars as pl
+
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def add_rev(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        )
-
-    per_order = grouped_sums(
-        lineitem.map_batches(add_rev, batch_format="pyarrow"),
-        keys=["l_orderkey"], sum_cols={"rev": "order_revenue"}, count_name="n_items",
-    ).map_batches(
-        lambda t: _canon_floats(t, ["order_revenue"], 2).rename_columns(
-            ["o_orderkey" if n == "l_orderkey" else n for n in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
-    left_schema = pa.schema(
-        [("o_orderkey", pa.int64()), ("order_revenue", pa.float64()), ("n_items", pa.int64())]
+    num_buckets = 16
+
+    union_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("__side", pa.int8()),
+            ("rev", pa.float64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+        ]
     )
-    right_schema = pa.schema(
-        [("o_orderkey", pa.int64()), ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64())]
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        out = pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "__side": pa.array([0] * t.num_rows, pa.int8()),
+                "rev": rev,
+                "o_orderstatus": pa.nulls(t.num_rows, pa.string()),
+                "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
+            },
+            schema=union_schema,
+        )
+        return add_bucket_column(out, "o_orderkey", num_buckets)
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "__side": pa.array([1] * t.num_rows, pa.int8()),
+                "rev": pa.nulls(t.num_rows, pa.float64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "o_totalprice": t["o_totalprice"],
+            },
+            schema=union_schema,
+        )
+        return add_bucket_column(out, "o_orderkey", num_buckets)
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("order_revenue", pa.float32()),
+            ("n_items", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+        ]
     )
-    return bucketed_hash_join(
-        per_order, orders, "o_orderkey", left_schema, right_schema, approx_rows=200_000
+
+    def agg_join_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
+        df = pl.from_arrow(t.drop_columns(["bucket"]))
+        left = (
+            df.filter(pl.col("__side") == 0)
+            .group_by("o_orderkey")
+            .agg(
+                order_revenue=pl.col("rev").sum().round(2).cast(pl.Float32),
+                n_items=pl.len().cast(pl.Int64),
+            )
+        )
+        right = df.filter(pl.col("__side") == 1).select(
+            ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+        return left.join(right, on="o_orderkey", how="inner").select(
+            out_schema.names
+        ).to_arrow().cast(out_schema)
+
+    return (
+        lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+        .union(orders.map_batches(prep_orders, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(agg_join_bucket, batch_format="pyarrow")
     )
 
 
@@ -525,3 +582,190 @@ ORACLE = {
     "ann_topk": SQL_ANN_TOPK,
     # extract_pages: intentionally no oracle (stub-VLM + DOM extraction)
 }
+
+
+# --- deduplication suite (training-data pipeline operators) -------------------
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact content dedup: smallest doc_id per distinct md5(text)."""
+    from qwen_ocr_ray.stages.dedup_text import dedup_exact_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_exact_text(ds).select_columns(["doc_id", "fingerprint"])
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT doc_id, md5(text) AS fingerprint
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only: sketch-based, not SQL-expressible)."""
+    from qwen_ocr_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Bottom-k n-gram Jaccard near-dup pairs (rows-only)."""
+    from qwen_ocr_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def q_simhash_docs(sf_dir: str):
+    """Per-document 64-bit simhash signatures (rows-only)."""
+    from qwen_ocr_ray.stages.dedup_text import simhash_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_docs(ds)
+
+
+def q_simhash_near_pairs(sf_dir: str):
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    from qwen_ocr_ray.stages.dedup_text import simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+# --- embedding similarity ------------------------------------------------------
+
+def q_embedding_pairs(sf_dir: str):
+    """Exact cosine pairs >= 0.4 (SQL-checkable; broadcast corpus)."""
+    from qwen_ocr_ray.stages.similarity import cosine_pairs
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs(ds, full, 0.4)
+
+
+SQL_EMBEDDING_PAIRS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) AS REAL) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs (scale path, approximate; rows-only)."""
+    from qwen_ocr_ray.stages.similarity import lsh_near_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_near_pairs(ds, 0.4)
+
+
+# --- text analysis -------------------------------------------------------------
+
+def q_doc_quality(sf_dir: str):
+    """Vectorized lexical quality features (SQL-checkable subset)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def features(t: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.text_stats import quality_frame
+
+        q = quality_frame(pl.from_arrow(t["text"]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": q["n_tokens"].to_arrow(),
+                "n_distinct": q["n_distinct"].to_arrow(),
+                "ttr": q["ttr"].to_arrow(),
+            }
+        )
+
+    return ds.map_batches(features, batch_format="pyarrow")
+
+
+SQL_DOC_QUALITY = """
+SELECT doc_id,
+       LEN(string_split(text, ' '))                 AS n_tokens,
+       LEN(list_distinct(string_split(text, ' ')))  AS n_distinct,
+       LEN(list_distinct(string_split(text, ' '))) /
+           CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS ttr
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic n-gram/stopword language ID (rows-only; accuracy asserted in tests)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.text_stats import lang_id
+
+        preds = [lang_id(s) for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "pred_lang": pa.array(preds, pa.string())}
+        )
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    """Composite quality score + BPE-ish token count + winnowing fingerprint
+    count (rows-only heuristics)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.text_stats import (
+            bpe_ish_token_count, quality_score, rolling_fingerprints, stopword_ratio,
+        )
+
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(
+                    [np.float32(quality_score(s, l)) for s, l in zip(texts, langs)],
+                    pa.float32(),
+                ),
+                "stopword_ratio": pa.array(
+                    [np.float32(round(stopword_ratio(s, l), 4)) for s, l in zip(texts, langs)],
+                    pa.float32(),
+                ),
+                "bpe_tokens": pa.array([bpe_ish_token_count(s) for s in texts], pa.int64()),
+                "n_fingerprints": pa.array(
+                    [len(rolling_fingerprints(s)) for s in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_pairs": q_embedding_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+    }
+)
+
+ORACLE.update(
+    {
+        "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+        "embedding_pairs": SQL_EMBEDDING_PAIRS,
+        "doc_quality": SQL_DOC_QUALITY,
+    }
+)

@@ -1,0 +1,401 @@
+"""Content deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale training-data pipeline operators (a core engine capability beyond
+the reference's own surface). All follow the same shuffle discipline as the
+url dedup: vectorized per-batch sketching, hash-bucketed shuffles keyed on
+the sketch, O(buckets) Python calls.
+
+Pipeline shapes:
+  exact       md5(text) -> bucket by fingerprint -> first doc_id per fp
+  minhash-LSH shingle->minhash per batch -> explode (band, key, doc) rows
+              -> groupby band bucket -> candidate pairs -> signature-estimated
+              Jaccard filter (no second text fetch; signatures travel with
+              the rows)
+  simhash     64-bit signature per doc -> 4-way band explode -> co-bucketed
+              pairs within Hamming distance <= 3
+  bottom-k    exact-ish n-gram Jaccard verify on candidate pairs via
+              mergeable bottom-k set sketches
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from qwen_ocr_ray.functions.text_hash import (
+    band_keys,
+    bottomk_sketch,
+    estimate_jaccard,
+    hamming64,
+    jaccard_from_bottomk,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    simhash_band_keys,
+)
+from qwen_ocr_ray.stages.bucketing import add_bucket_column
+from qwen_ocr_ray.stages.dedup_url import first_per_key
+
+NUM_PERM = 64
+NUM_BANDS = 16
+BOTTOM_K = 128
+
+
+# --- exact content dedup ------------------------------------------------------
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [hashlib.md5(s.encode()).hexdigest() for s in t[text_col].to_pylist()]
+    return t.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def dedup_exact_text(ds, *, id_col: str = "doc_id", text_col: str = "text", num_buckets: int = 32):
+    """Keep the smallest id per distinct text content."""
+    def bucket(t: pa.Table) -> pa.Table:
+        return add_bucket_column(fingerprint_batch(t, text_col), "fingerprint", num_buckets)
+
+    def first_in_bucket(t: pa.Table) -> pa.Table:
+        return first_per_key(t, "fingerprint", [(id_col, "ascending")]).drop_columns(["bucket"])
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_in_bucket, batch_format="pyarrow")
+    )
+
+
+# --- minhash + LSH ------------------------------------------------------------
+
+def minhash_explode_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Doc rows -> (band_id, band_key, doc_id, signature) rows (NUM_BANDS per doc)."""
+    ids = t[id_col].to_pylist()
+    texts = t[text_col].to_pylist()
+    out_band, out_key, out_id, out_sig = [], [], [], []
+    for i, text in zip(ids, texts):
+        sig = minhash_signature(shingle_hashes(text), NUM_PERM)
+        sig_bytes = sig.tobytes()
+        for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
+            out_band.append(band_id)
+            out_key.append(key - (1 << 63))  # to signed int64
+            out_id.append(i)
+            out_sig.append(sig_bytes)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "signature": pa.array(out_sig, pa.binary()),
+        }
+    )
+
+
+PAIRS_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float32())]
+)
+
+
+def candidate_pairs_in_bucket(t: pa.Table, threshold: float) -> pa.Table:
+    """One (band_id-range) bucket of exploded rows -> verified near-dup pairs.
+
+    Groups rows by (band_id, band_key); every pair sharing a band bucket is a
+    candidate; verification = signature-agreement Jaccard estimate (the
+    signatures travel with the rows, so no second fetch of the corpus)."""
+    if t.num_rows == 0:
+        return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
+    t = t.combine_chunks()
+    idx = pc.sort_indices(
+        t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
+    )
+    t = t.take(idx)
+    bands = t["band_id"].to_pylist()
+    keys = t["band_key"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    sigs = t["signature"].to_pylist()
+    out: set[tuple[int, int]] = set()
+    est: dict[tuple[int, int], float] = {}
+    i, n = 0, len(ids)
+    while i < n:
+        j = i
+        while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+            j += 1
+        if j - i > 1:
+            group = list(range(i, j))
+            for x in range(len(group)):
+                sx = np.frombuffer(sigs[group[x]], dtype=np.uint64)
+                for y in range(x + 1, len(group)):
+                    a, b = ids[group[x]], ids[group[y]]
+                    if a == b:
+                        continue
+                    pair = (min(a, b), max(a, b))
+                    if pair in out:
+                        continue
+                    sy = np.frombuffer(sigs[group[y]], dtype=np.uint64)
+                    e = estimate_jaccard(sx, sy)
+                    if e >= threshold:
+                        out.add(pair)
+                        est[pair] = e
+        i = j
+    pairs = sorted(out)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "est_jaccard": pa.array([np.float32(round(est[p], 4)) for p in pairs], pa.float32()),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
+def minhash_lsh_pairs(ds, *, threshold: float = 0.5, id_col: str = "doc_id",
+                      text_col: str = "text", num_buckets: int = 32):
+    """Near-duplicate pairs via banded MinHash-LSH; output may contain the
+    same pair discovered in different band buckets — deduped by a final
+    first-per-pair pass."""
+    exploded = ds.map_batches(
+        lambda t: minhash_explode_batch(t, id_col, text_col), batch_format="pyarrow"
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band_id"], pa.string()), pc.cast(t["band_key"], pa.string()), ":"
+        )
+        return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
+
+    pairs = (
+        exploded.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: candidate_pairs_in_bucket(t.drop_columns(["bucket"]), threshold),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_a"], pa.string()), pc.cast(t["doc_b"], pa.string()), "_"
+        )
+        return add_bucket_column(t.append_column("pair", key), "pair", 16)
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: first_per_key(t, "pair", [("doc_a", "ascending")]).drop_columns(
+                ["pair", "bucket"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --- simhash ------------------------------------------------------------------
+
+def simhash_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    sigs = [simhash64(s) for s in t[text_col].to_pylist()]
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "simhash": pa.array([format(s, "016x") for s in sigs], pa.string()),
+        }
+    )
+
+
+def simhash_docs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document 64-bit simhash (hex). Pure map — no shuffle."""
+    return ds.map_batches(lambda t: simhash_batch(t, id_col, text_col), batch_format="pyarrow")
+
+
+def simhash_near_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text", num_buckets: int = 16):
+    """Pairs within Hamming distance <= max_hamming via 4-way band pigeonhole."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, text in zip(ids, texts):
+            sig = simhash64(text)
+            for band_id, key in enumerate(simhash_band_keys(sig, 4)):
+                out_id.append(i)
+                out_band.append(band_id)
+                out_key.append(key)
+                out_sig.append(sig - (1 << 63))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band_id"], pa.string()), pc.cast(t["band_key"], pa.string()), ":"
+        )
+        return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+        )
+        if t.num_rows == 0:
+            return pa.table({n: [] for n in schema.names}, schema=schema)
+        t = t.combine_chunks()
+        idx = pc.sort_indices(
+            t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
+        ids, sigs = t["doc_id"].to_pylist(), t["sig"].to_pylist()
+        seen: dict[tuple[int, int], int] = {}
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+                j += 1
+            for x in range(i, j):
+                for y in range(x + 1, j):
+                    if ids[x] == ids[y]:
+                        continue
+                    d = hamming64((sigs[x] + (1 << 63)), (sigs[y] + (1 << 63)))
+                    if d <= max_hamming:
+                        pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                        seen.setdefault(pair, d)
+            i = j
+        pairs = sorted(seen)
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+                "hamming": pa.array([seen[p] for p in pairs], pa.int32()),
+            },
+            schema=schema,
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda t: pairs_in_bucket(t.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_a"], pa.string()), pc.cast(t["doc_b"], pa.string()), "_"
+        )
+        return add_bucket_column(t.append_column("pair", key), "pair", 8)
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: first_per_key(t, "pair", [("doc_a", "ascending")]).drop_columns(
+                ["pair", "bucket"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --- bottom-k n-gram Jaccard ---------------------------------------------------
+
+def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text", num_buckets: int = 32):
+    """Near-dup pairs with Jaccard estimated from bottom-k n-gram sketches.
+
+    Candidates come from MinHash banding (same recall); verification uses the
+    bottom-k sketch (tighter estimator than signature agreement)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
+        out_band, out_key, out_id, out_sk = [], [], [], []
+        for i, text in zip(ids, texts):
+            sh = shingle_hashes(text)
+            sig = minhash_signature(sh, NUM_PERM)
+            sk = bottomk_sketch(sh, BOTTOM_K).tobytes()
+            for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
+                out_band.append(band_id)
+                out_key.append(key - (1 << 63))
+                out_id.append(i)
+                out_sk.append(sk)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "signature": pa.array(out_sk, pa.binary()),
+            }
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band_id"], pa.string()), pc.cast(t["band_key"], pa.string()), ":"
+        )
+        return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
+        t = t.combine_chunks()
+        idx = pc.sort_indices(
+            t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
+        ids, sks = t["doc_id"].to_pylist(), t["signature"].to_pylist()
+        out: dict[tuple[int, int], float] = {}
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+                j += 1
+            for x in range(i, j):
+                a = np.frombuffer(sks[x], dtype=np.uint64)
+                for y in range(x + 1, j):
+                    if ids[x] == ids[y]:
+                        continue
+                    pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                    if pair in out:
+                        continue
+                    b = np.frombuffer(sks[y], dtype=np.uint64)
+                    jac = jaccard_from_bottomk(a, b, BOTTOM_K)
+                    if jac >= threshold:
+                        out[pair] = jac
+            i = j
+        pairs = sorted(out)
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+                "est_jaccard": pa.array(
+                    [np.float32(round(out[p], 4)) for p in pairs], pa.float32()
+                ),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda t: verify(t.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_a"], pa.string()), pc.cast(t["doc_b"], pa.string()), "_"
+        )
+        return add_bucket_column(t.append_column("pair", key), "pair", 8)
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: first_per_key(t, "pair", [("doc_a", "ascending")]).drop_columns(
+                ["pair", "bucket"]
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * ``cosine_topk``      — brute-force top-k vs a broadcast query matrix
+                            (numpy matmul per batch); the exact baseline.
+  * ``cosine_pairs``     — exact all-pairs >= threshold: each batch is scored
+                            against the full (broadcast) matrix; emits (a < b)
+                            pairs once. Exact -> SQL-oracle-checkable.
+  * ``lsh_near_pairs``   — the scale path: random-hyperplane signatures,
+                            band-bucketed shuffle, exact cosine verify within
+                            buckets. Approximate (recall < 1), never broadcasts
+                            the corpus.
+  * ``embedding_near_dup`` — near-duplicate row filter built on lsh pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from qwen_ocr_ray.stages.bucketing import add_bucket_column
+from qwen_ocr_ray.stages.dedup_url import first_per_key
+
+PAIRS_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("score", pa.float32())]
+)
+
+
+def _matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.asarray(t[col].to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1.0, norms)
+
+
+def cosine_topk(ds, query: np.ndarray, k: int = 5, *, id_col: str = "vec_id"):
+    """Top-k by cosine score against one query vector (broadcast once)."""
+    qn = query / (np.linalg.norm(query) or 1.0)
+    q_ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        sims = _normalize(_matrix(t)) @ q
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "score": pa.array(np.round(sims, 6).astype(np.float32), pa.float32()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def cosine_pairs(ds, full: pa.Table, threshold: float, *, id_col: str = "vec_id"):
+    """Exact pairs (a < b) with cosine >= threshold. ``full`` is the whole
+    embedding table broadcast once — exact semantics for oracle parity; use
+    ``lsh_near_pairs`` when the corpus doesn't fit a worker."""
+    ids_full = np.asarray(full[id_col].to_pylist(), dtype=np.int64)
+    mat_full = _normalize(_matrix(full))
+    ref = ray.put((ids_full, mat_full))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        f_ids, f_mat = ray.get(ref)
+        b_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        sims = np.round(_normalize(_matrix(t)) @ f_mat.T, 6)  # (batch, corpus)
+        # threshold on the ROUNDED score so engine ulp differences can't flip
+        # membership at the boundary (oracle SQL thresholds identically)
+        keep = sims >= threshold
+        # emit each unordered pair once: batch id < corpus id
+        bi, fj = np.nonzero(keep)
+        a, b = b_ids[bi], f_ids[fj]
+        m = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[m], pa.int64()),
+                "vec_b": pa.array(b[m], pa.int64()),
+                "score": pa.array(
+                    np.round(sims[bi[m], fj[m]], 6).astype(np.float32), pa.float32()
+                ),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def hyperplane_signatures(m: np.ndarray, num_bits: int = 16, seed: int = 777) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((m.shape[1], num_bits))
+    bits = (m @ planes) >= 0
+    weights = (1 << np.arange(num_bits, dtype=np.int64))
+    return (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def lsh_near_pairs(
+    ds, threshold: float, *, id_col: str = "vec_id", num_bits: int = 16,
+    num_bands: int = 4, num_buckets: int = 16,
+):
+    """Approximate near-neighbour pairs: hyperplane LSH bands -> bucketed
+    shuffle -> exact cosine verify inside each band bucket."""
+    width = num_bits // num_bands
+    mask = (1 << width) - 1
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_matrix(t))
+        sigs = hyperplane_signatures(m, num_bits)
+        out = {"band_id": [], "band_key": [], id_col: [], "vec": []}
+        vec_bytes = [row.astype(np.float32).tobytes() for row in m]
+        for band in range(num_bands):
+            keys = (sigs >> (band * width)) & mask
+            out["band_id"].extend([band] * len(ids))
+            out["band_key"].extend(keys.tolist())
+            out[id_col].extend(ids.tolist())
+            out["vec"].extend(vec_bytes)
+        return pa.table(
+            {
+                "band_id": pa.array(out["band_id"], pa.int32()),
+                "band_key": pa.array(out["band_key"], pa.int64()),
+                id_col: pa.array(out[id_col], pa.int64()),
+                "vec": pa.array(out["vec"], pa.binary()),
+            }
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band_id"], pa.string()), pc.cast(t["band_key"], pa.string()), ":"
+        )
+        return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
+        t = t.combine_chunks()
+        idx = pc.sort_indices(
+            t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
+        )
+        t = t.take(idx)
+        bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
+        ids, vecs = t[id_col].to_pylist(), t["vec"].to_pylist()
+        out: dict[tuple[int, int], float] = {}
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+                j += 1
+            if j - i > 1:
+                group_ids = ids[i:j]
+                mat = np.frombuffer(b"".join(vecs[i:j]), dtype=np.float32).reshape(j - i, -1)
+                sims = mat.astype(np.float64) @ mat.astype(np.float64).T
+                for x in range(j - i):
+                    for y in range(x + 1, j - i):
+                        if group_ids[x] == group_ids[y]:
+                            continue
+                        s = sims[x, y]
+                        if s >= threshold:
+                            pair = (min(group_ids[x], group_ids[y]), max(group_ids[x], group_ids[y]))
+                            out.setdefault(pair, round(float(s), 6))
+            i = j
+        pairs = sorted(out)
+        return pa.table(
+            {
+                "vec_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "vec_b": pa.array([p[1] for p in pairs], pa.int64()),
+                "score": pa.array([np.float32(out[p]) for p in pairs], pa.float32()),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda t: verify(t.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["vec_a"], pa.string()), pc.cast(t["vec_b"], pa.string()), "_"
+        )
+        return add_bucket_column(t.append_column("pair", key), "pair", 8)
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: first_per_key(t, "pair", [("vec_a", "ascending")]).drop_columns(
+                ["pair", "bucket"]
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -1,0 +1,188 @@
+"""Dedup + similarity suite: kernel determinism and recall on PLANTED
+near-duplicates (the testdata corpus has none, so we synthesize controlled
+cases and assert the sketch pipelines find them)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from qwen_ocr_ray.functions.text_hash import (
+    estimate_jaccard,
+    hamming64,
+    jaccard_from_bottomk,
+    minhash_signature,
+    bottomk_sketch,
+    shingle_hashes,
+    simhash64,
+)
+from qwen_ocr_ray.functions.text_stats import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a bright sky"
+)
+NEAR = BASE.replace("bright sky", "cloudy sky")  # one-word change
+FAR = "completely different content about database engines and shuffle joins in distributed systems"
+
+
+class TestKernels:
+    def test_shingles_deterministic_and_order_sensitive(self):
+        a = shingle_hashes(BASE)
+        assert np.array_equal(a, shingle_hashes(BASE))
+        shuffled = " ".join(reversed(BASE.split()))
+        assert not np.array_equal(np.sort(a), np.sort(shingle_hashes(shuffled)))
+
+    def test_minhash_estimates_jaccard(self):
+        sa, sb = shingle_hashes(BASE), shingle_hashes(NEAR)
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        est = estimate_jaccard(minhash_signature(sa), minhash_signature(sb))
+        assert abs(est - true_j) < 0.25
+        assert estimate_jaccard(minhash_signature(sa), minhash_signature(sa)) == 1.0
+
+    def test_bottomk_close_to_true_jaccard(self):
+        sa, sb = shingle_hashes(BASE), shingle_hashes(NEAR)
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        est = jaccard_from_bottomk(bottomk_sketch(sa), bottomk_sketch(sb))
+        assert abs(est - true_j) < 0.1
+
+    def test_simhash_near_vs_far(self):
+        d_near = hamming64(simhash64(BASE), simhash64(NEAR))
+        d_far = hamming64(simhash64(BASE), simhash64(FAR))
+        assert d_near < d_far
+        assert hamming64(simhash64(BASE), simhash64(BASE)) == 0
+
+
+class TestTextStats:
+    def test_lang_id_on_english(self):
+        assert lang_id("the cat and the dog are in the house") == "en"
+        assert lang_id("der hund und die katze sind nicht im haus") == "de"
+        assert lang_id("") == "und"
+        assert lang_id("zzz qqq xxx") == "und"
+
+    def test_quality_score_bounds(self):
+        assert quality_score("") == 0.0
+        s = quality_score("the " + " ".join(f"word{i}" for i in range(60)))
+        assert 0.0 < s <= 1.0
+
+    def test_stopword_ratio(self):
+        assert stopword_ratio("the the the", "en") == 1.0
+        assert stopword_ratio("xyz abc", "en") == 0.0
+
+    def test_bpe_ish_tokens(self):
+        assert bpe_ish_token_count("hello, world! x2") == 6  # hello , world ! x 2
+
+
+@pytest.fixture(scope="module")
+def planted_ds(ray_session):
+    rows = []
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    for i in range(40):
+        words = [vocab[v] for v in rng.randint(0, 500, size=80)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # plant near-dup clusters: 100<->101 (1-word change of doc 0), 102 exact dup of doc 1
+    base0 = rows[0]["text"].split()
+    near0 = list(base0)
+    near0[40] = "CHANGED"
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": " ".join(near0)})
+    rows.append({"doc_id": 102, "text": rows[1]["text"]})
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+class TestPlantedNearDups:
+    def test_exact_dedup_collapses_exact_only(self, planted_ds):
+        from qwen_ocr_ray.stages.dedup_text import dedup_exact_text
+
+        out = dedup_exact_text(planted_ds).to_pandas()
+        assert len(out) == 41  # 43 rows, two exact dups collapsed
+        assert 100 not in set(out.doc_id)  # doc 0 kept (smaller id)
+        assert 102 not in set(out.doc_id)
+
+    def test_minhash_lsh_finds_planted_pairs(self, planted_ds):
+        from qwen_ocr_ray.stages.dedup_text import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(planted_ds, threshold=0.5).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (0, 100) in found       # exact dup
+        assert (1, 102) in found
+        assert (0, 101) in found       # 1-word-change near dup
+        assert (100, 101) in found
+        # no random-pair false positives at this threshold
+        assert all(a >= 100 or b >= 100 or a == b for a, b in found), found
+
+    def test_ngram_jaccard_pairs_agree(self, planted_ds):
+        from qwen_ocr_ray.stages.dedup_text import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(planted_ds, threshold=0.5).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert {(0, 100), (1, 102), (0, 101)} <= found
+        exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
+        assert float(exact.est_jaccard.iloc[0]) == 1.0
+
+    def test_simhash_near_pairs_finds_exact_dups(self, planted_ds):
+        from qwen_ocr_ray.stages.dedup_text import simhash_near_pairs
+
+        pairs = simhash_near_pairs(planted_ds, max_hamming=3).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (0, 100) in found and (1, 102) in found
+        assert pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)].hamming.iloc[0] == 0
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(ray_session):
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 16))
+    vecs = list(base)
+    vecs.append(base[3] + 0.01 * rng.standard_normal(16))  # id 30 ~ id 3
+    vecs.append(base[7])                                    # id 31 == id 7
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(32)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    return ray.data.from_arrow(t), t
+
+
+class TestEmbeddingSimilarity:
+    def test_exact_pairs_finds_planted(self, planted_vectors):
+        from qwen_ocr_ray.stages.similarity import cosine_pairs
+
+        ds, full = planted_vectors
+        pairs = cosine_pairs(ds, full, 0.95).to_pandas()
+        found = set(zip(pairs.vec_a, pairs.vec_b))
+        assert (3, 30) in found and (7, 31) in found
+        assert len(found) == 2
+
+    def test_lsh_pairs_match_exact_at_high_threshold(self, planted_vectors):
+        from qwen_ocr_ray.stages.similarity import lsh_near_pairs
+
+        ds, _ = planted_vectors
+        pairs = lsh_near_pairs(ds, 0.95).to_pandas()
+        found = set(zip(pairs.vec_a, pairs.vec_b))
+        assert (3, 30) in found and (7, 31) in found
+
+    def test_topk_self_is_best(self, planted_vectors):
+        from qwen_ocr_ray.stages.similarity import cosine_topk
+
+        ds, full = planted_vectors
+        q = np.asarray(full["embedding"].to_pylist()[7], dtype=np.float64)
+        top = cosine_topk(ds, q, k=2).to_pandas()
+        assert set(top.vec_id) == {7, 31}
+        assert (top.score >= 0.999999).all()
