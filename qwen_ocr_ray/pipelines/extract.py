@@ -47,7 +47,9 @@ PASSTHROUGH_ERRORS = {
 }
 
 
-def _path_bytes(path: str) -> int:
+def _path_bytes(path: "str | list[str]") -> int:
+    if isinstance(path, list):
+        return sum(_path_bytes(p) for p in path)
     if os.path.isdir(path):
         return sum(
             os.path.getsize(os.path.join(r, f))
@@ -57,7 +59,9 @@ def _path_bytes(path: str) -> int:
     return os.path.getsize(path)
 
 
-def sized_read_parquet(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+def sized_read_parquet(
+    path: "str | list[str]", columns: list[str] | None = None
+) -> "ray.data.Dataset":
     """read_parquet with a block count fitted to the input size.
 
     Ray's default splits small files into ~CPU-count×N tiny blocks; every

@@ -769,3 +769,23 @@ ORACLE.update(
         "doc_quality": SQL_DOC_QUALITY,
     }
 )
+
+
+# --- figure pipeline (rows-only; stub-VLM detection) ---------------------------
+
+def q_extract_figures(sf_dir: str):
+    """Fused detect->area-filter->crop figure pipeline over the synthetic
+    pages table (metadata columns only; crops are raw-RGB binary)."""
+    from qwen_ocr_ray.pipelines.figures import run_figures
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    n = pq.read_metadata(pages_path).num_rows
+    ds = run_figures(pages_path, approx_rows=n)
+    return ds.select_columns(
+        ["url", "page_num", "fig_number", "fig_seq", "element_type",
+         "x1", "y1", "x2", "y2", "area_frac", "width", "height"]
+    )
+
+
+QUERIES["extract_figures"] = q_extract_figures

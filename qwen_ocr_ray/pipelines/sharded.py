@@ -1,0 +1,169 @@
+"""Sharded, resumable extraction: per-partition manifests with lineage+metrics.
+
+The 10^12-row run must survive restarts (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics"). Layout:
+
+    out_dir/
+      routed/                     phase-A checkpoint (dedup+route, _SUCCESS)
+      shards/shard=<kind>-<i>/    one directory of parquet per shard
+      _manifest/<kind>-<i>.json   written AFTER the shard's data is durable
+
+A shard = a fixed slice of the routed checkpoint's part files for one kind
+(so lineage is a concrete file list). The driver loop skips any shard whose
+manifest says done — rerunning after a kill redoes only unfinished shards.
+Shard outputs are written to a temp dir and renamed into place, manifest
+last, so a crash can never leave a "done" manifest over partial data.
+
+Manifest fields: shard, kind, input_files (lineage), rows_out, bytes_out,
+wall_s, status, error — the distributed analogue of ProcessingJobState
+(/root/reference/src/main.py:42-57).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import ray.data
+
+from qwen_ocr_ray.config import DEFAULT_CONFIG, EngineConfig
+from qwen_ocr_ray.pipelines.extract import (
+    PASSTHROUGH_ERRORS,
+    _pad_doc_schema,
+    build_pages_branch,
+    route_and_checkpoint,
+    sized_read_parquet,
+)
+from qwen_ocr_ray.stages.extract_html import extract_html_batch, passthrough_batch
+
+import pyarrow as pa
+
+
+def _shard_plan(routed_dir: str, files_per_shard: int) -> list[dict]:
+    """Deterministic shard list: per kind, consecutive groups of part files."""
+    shards = []
+    for entry in sorted(os.listdir(routed_dir)):
+        if not entry.startswith("kind="):
+            continue
+        kind = entry.split("=", 1)[1]
+        files = sorted(
+            os.path.join(routed_dir, entry, f)
+            for f in os.listdir(os.path.join(routed_dir, entry))
+            if f.endswith(".parquet")
+        )
+        for i in range(0, len(files), files_per_shard):
+            shards.append(
+                {
+                    "shard": f"{kind}-{i // files_per_shard}",
+                    "kind": kind,
+                    "input_files": files[i : i + files_per_shard],
+                }
+            )
+    return shards
+
+
+def _restore_kind(ds: "ray.data.Dataset", kind: str) -> "ray.data.Dataset":
+    def fix(t: pa.Table, k: str = kind) -> pa.Table:
+        if "kind" in t.column_names:
+            t = t.drop_columns(["kind"])
+        return t.append_column("kind", pa.array([k] * t.num_rows, pa.string()))
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def _build_shard_dataset(shard: dict, cfg: EngineConfig, backend: str) -> "ray.data.Dataset":
+    ds = _restore_kind(sized_read_parquet(shard["input_files"]), shard["kind"])
+    kind = shard["kind"]
+    if kind == "html":
+        return ds.map_batches(
+            extract_html_batch, batch_format="pyarrow", batch_size=cfg.text_batch_size
+        ).map_batches(_pad_doc_schema, batch_format="pyarrow")
+    if kind == "pages":
+        return build_pages_branch(ds, cfg, backend=backend)
+    return ds.map_batches(
+        lambda t: _pad_doc_schema(passthrough_batch(t, PASSTHROUGH_ERRORS)),
+        batch_format="pyarrow",
+    )
+
+
+def run_sharded_extraction(
+    pages_path: str,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    files_per_shard: int = 4,
+    approx_rows: int | None = None,
+    backend: str = "stub",
+    fail_on_shard: str | None = None,  # test hook: simulate a mid-run crash
+) -> dict:
+    """Run (or resume) the full extraction; returns a summary dict."""
+    routed_dir = os.path.join(out_dir, "routed")
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    shards_dir = os.path.join(out_dir, "shards")
+    for d in (routed_dir, manifest_dir, shards_dir):
+        os.makedirs(d, exist_ok=True)
+
+    route_and_checkpoint(pages_path, routed_dir, cfg, approx_rows=approx_rows)
+
+    plan = _shard_plan(routed_dir, files_per_shard)
+    done, ran, failed = [], [], []
+    for shard in plan:
+        name = shard["shard"]
+        mpath = os.path.join(manifest_dir, f"{name}.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                if json.load(f).get("status") == "done":
+                    done.append(name)
+                    continue
+        if fail_on_shard == name:
+            raise RuntimeError(f"simulated crash before shard {name}")
+
+        final_dir = os.path.join(shards_dir, f"shard={name}")
+        tmp_dir = final_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)  # partial from a crash
+        t0 = time.perf_counter()
+        manifest = {
+            "shard": name,
+            "kind": shard["kind"],
+            "input_files": shard["input_files"],
+            "status": "failed",
+            "error": None,
+        }
+        try:
+            ds = _build_shard_dataset(shard, cfg, backend)
+            ds.write_parquet(tmp_dir)
+            os.replace(tmp_dir, final_dir)
+            import pyarrow.parquet as pq
+
+            files = [f for f in os.listdir(final_dir) if f.endswith(".parquet")]
+            manifest.update(
+                status="done",
+                rows_out=sum(
+                    pq.read_metadata(os.path.join(final_dir, f)).num_rows for f in files
+                ),
+                bytes_out=sum(os.path.getsize(os.path.join(final_dir, f)) for f in files),
+                wall_s=round(time.perf_counter() - t0, 3),
+            )
+            ran.append(name)
+        except Exception as e:
+            manifest["error"] = f"{type(e).__name__}: {e}"
+            failed.append(name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+
+    return {
+        "out_dir": out_dir,
+        "shards_total": len(plan),
+        "shards_skipped": done,
+        "shards_ran": ran,
+        "shards_failed": failed,
+    }
+
+
+def read_extraction_output(out_dir: str) -> "ray.data.Dataset":
+    return sized_read_parquet(os.path.join(out_dir, "shards"))
