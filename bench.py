@@ -25,6 +25,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# scaling runs use a replicated (compute-dominated) input so fixed Ray
+# overheads don't mask parallel speedup; plain bench uses the sf input as-is
+REPLICATE = int(os.environ.get("QOR_REPLICATE", "1"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -64,7 +67,7 @@ def run_bench() -> dict:
 
     # untimed: generate + warm the page cache (guide: measure compute+shuffle,
     # not the first disk read)
-    pages_path, _ = ensure_pages_dataset(SF_DIR)
+    pages_path, _ = ensure_pages_dataset(SF_DIR, replicate=REPLICATE)
     n_rows = pq.read_metadata(pages_path).num_rows
     with open(pages_path, "rb") as f:
         while f.read(1 << 24):
@@ -88,6 +91,18 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     per_query: dict[str, float] = {}
+    if os.environ.get("QOR_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "extraction_pipeline_sec_sf",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1),
+        }
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         res = QUERIES[name](SF_DIR)
@@ -111,13 +126,16 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Fresh-process runs at 8 and 32 CPUs on identical, pre-warmed input."""
-    # pre-generate the synthetic input once so both runs see a warm cache
+    # pre-generate the synthetic input once so both runs see a warm cache;
+    # replicate 8x so the job is compute-dominated (~40k docs at sf0.1)
+    replicate = int(os.environ.get("QOR_SCALING_REPLICATE", "8"))
     from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
 
-    ensure_pages_dataset(SF_DIR)
+    ensure_pages_dataset(SF_DIR, replicate=replicate)
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   QOR_REPLICATE=str(replicate), QOR_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -125,6 +143,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = one(8), one(32)
+    docs = lo["docs"]
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     return {
@@ -134,6 +153,8 @@ def run_scaling() -> dict:
         "docs_per_sec_8": lo["docs_per_sec"],
         "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "docs": docs,
+        "replicate": replicate,
         "sf": SF_DIR,
     }
 

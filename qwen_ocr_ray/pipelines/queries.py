@@ -789,3 +789,68 @@ def q_extract_figures(sf_dir: str):
 
 
 QUERIES["extract_figures"] = q_extract_figures
+
+
+# --- multimodal stages (codecs stubbed; plumbing real; rows-only) -------------
+
+def q_media_image_features(sf_dir: str):
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.stages.multimodal import RAW_RGB, ImageFeatures
+
+    path = ensure_media_dataset(sf_dir)
+    ds = sized_read_parquet(path)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["mime"], RAW_RGB)), batch_format="pyarrow"
+    ).map_batches(ImageFeatures, batch_format="pyarrow", batch_size=256,
+                  concurrency=2, num_cpus=1)
+
+
+def q_media_audio_features(sf_dir: str):
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.stages.multimodal import RAW_PCM16, AudioFeatures
+
+    path = ensure_media_dataset(sf_dir)
+    ds = sized_read_parquet(path)
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["mime"], RAW_PCM16)), batch_format="pyarrow"
+    ).map_batches(AudioFeatures, batch_format="pyarrow", batch_size=256,
+                  concurrency=2, num_cpus=1)
+
+
+def q_media_video_frames(sf_dir: str):
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.stages.multimodal import RAW_VIDEO, SampleVideoFrames
+
+    path = ensure_media_dataset(sf_dir)
+    ds = sized_read_parquet(path)
+    frames = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["mime"], RAW_VIDEO)), batch_format="pyarrow"
+    ).map_batches(SampleVideoFrames, fn_constructor_kwargs={"every_k": 4},
+                  batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1)
+    return frames.select_columns(["media_id", "frame_idx", "width", "height", "mime"])
+
+
+def q_domain_partitions(sf_dir: str):
+    """Salted skew partitioning histogram over the synthetic pages table
+    (rows-only; boundedness asserted in tests)."""
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+    from qwen_ocr_ray.stages.skew import partition_histogram
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    total = pq.read_metadata(pages_path).num_rows
+    ds = sized_read_parquet(pages_path, columns=["url"])
+    return partition_histogram(ds, hot_fraction=0.05, total_rows=total)
+
+
+QUERIES.update(
+    {
+        "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
+        "media_video_frames": q_media_video_frames,
+        "domain_partitions": q_domain_partitions,
+    }
+)

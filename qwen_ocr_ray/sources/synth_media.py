@@ -1,0 +1,117 @@
+"""Deterministic synthetic media table (image/audio/video binary columns).
+
+One media row per documents-table row (seeded by doc_id, order-independent):
+  ~70% raw-RGB images, ~15% raw-PCM16 audio, ~10% raw-frame video,
+  ~5% "real" mimes (image/jpeg) with junk payloads that exercise the
+  stubbed-codec error path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from qwen_ocr_ray.sources.pagepack import pack_pages
+from qwen_ocr_ray.sources.synth_pages import _mix
+from qwen_ocr_ray.stages.multimodal import RAW_PCM16, RAW_RGB, RAW_VIDEO
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def _image(doc_id: int) -> tuple[bytes, int, int]:
+    r = _mix(77, doc_id)
+    w, h = 48 + r % 64, 48 + (r >> 8) % 64
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :, 0] = (xx * (1 + r % 5)) % 256
+    img[:, :, 1] = (yy * (1 + (r >> 4) % 5)) % 256
+    img[:, :, 2] = ((xx + yy + r) % 256)
+    return img.tobytes(), w, h
+
+
+def _audio(doc_id: int) -> tuple[bytes, int]:
+    r = _mix(78, doc_id)
+    sr = 8000
+    n = sr // 2 + r % sr  # 0.5-1.5 s
+    t = np.arange(n)
+    freq = 100 + r % 800
+    wave = (np.sin(2 * np.pi * freq * t / sr) * (5000 + r % 20000)).astype("<i2")
+    return wave.tobytes(), sr
+
+
+def _video(doc_id: int) -> tuple[bytes, int]:
+    r = _mix(79, doc_id)
+    n_frames = 6 + r % 18
+    frames = []
+    for f in range(n_frames):
+        rf = _mix(79, doc_id, f)
+        img = np.full((24, 32, 3), (rf % 200, (rf >> 8) % 200, (rf >> 16) % 200), dtype=np.uint8)
+        frames.append((32, 24, img.tobytes()))
+    return pack_pages(frames), n_frames
+
+
+def generate_media_table(doc_ids: list[int]) -> pa.Table:
+    cols: dict[str, list] = {n: [] for n in MEDIA_SCHEMA.names}
+    for doc_id in doc_ids:
+        r = _mix(76, doc_id) % 100
+        cols["media_id"].append(doc_id)
+        if r < 70:
+            payload, w, h = _image(doc_id)
+            cols["mime"].append(RAW_RGB)
+            cols["payload"].append(payload)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["sample_rate"].append(None)
+            cols["n_frames"].append(None)
+        elif r < 85:
+            payload, sr = _audio(doc_id)
+            cols["mime"].append(RAW_PCM16)
+            cols["payload"].append(payload)
+            cols["width"].append(None)
+            cols["height"].append(None)
+            cols["sample_rate"].append(sr)
+            cols["n_frames"].append(None)
+        elif r < 95:
+            payload, nf = _video(doc_id)
+            cols["mime"].append(RAW_VIDEO)
+            cols["payload"].append(payload)
+            cols["width"].append(32)
+            cols["height"].append(24)
+            cols["sample_rate"].append(None)
+            cols["n_frames"].append(nf)
+        else:
+            cols["mime"].append("image/jpeg")  # stubbed codec path
+            cols["payload"].append(b"\xff\xd8\xff\xe0junk" + bytes([doc_id % 256] * 16))
+            cols["width"].append(None)
+            cols["height"].append(None)
+            cols["sample_rate"].append(None)
+            cols["n_frames"].append(None)
+    return pa.table(cols, schema=MEDIA_SCHEMA)
+
+
+def ensure_media_dataset(sf_dir: str, cache_root: str = "/tmp/qor_media") -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, tag)
+    path = os.path.join(out_dir, "media.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    table = generate_media_table(docs["doc_id"].to_pylist())
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

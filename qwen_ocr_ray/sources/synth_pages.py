@@ -230,15 +230,22 @@ def generate_pages_table(doc_table: pa.Table) -> tuple[pa.Table, pa.Table]:
     return pages, golden
 
 
-def ensure_pages_dataset(sf_dir: str, cache_root: str = "/tmp/qor_pages") -> tuple[str, str]:
+def ensure_pages_dataset(
+    sf_dir: str, cache_root: str = "/tmp/qor_pages", replicate: int = 1
+) -> tuple[str, str]:
     """Generate-and-cache pages.parquet + golden.parquet for an sf dir.
 
-    Returns (pages_path, golden_path). Cache key = sf dir name; files are
-    written atomically (tmp + rename) so concurrent callers are safe.
+    Returns (pages_path, golden_path). Cache key = sf dir name (+ replication
+    factor); files are written atomically (tmp + rename) so concurrent
+    callers are safe. ``replicate=K`` derives K deterministic variants per
+    document (distinct doc_ids -> distinct urls/content) — used by the
+    scaling benchmark to build a compute-dominated input from small testdata.
     """
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
+    if replicate > 1:
+        tag = f"{tag}_x{replicate}"
     out_dir = os.path.join(cache_root, tag)
     pages_path = os.path.join(out_dir, "pages.parquet")
     golden_path = os.path.join(out_dir, "golden.parquet")
@@ -246,6 +253,27 @@ def ensure_pages_dataset(sf_dir: str, cache_root: str = "/tmp/qor_pages") -> tup
         return pages_path, golden_path
     os.makedirs(out_dir, exist_ok=True)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    if replicate > 1:
+        ids = docs["doc_id"].to_pylist()
+        texts = docs["text"].to_pylist()
+        langs = docs["lang"].to_pylist()
+        rep_ids, rep_texts, rep_langs = [], [], []
+        for k in range(replicate):
+            off = k * 10_000_000
+            rep_ids.extend(i + off for i in ids)
+            # rotate words so replicas are distinct documents, not exact dups
+            rep_texts.extend(
+                " ".join(t.split()[k % max(1, len(t.split())):] + t.split()[: k % max(1, len(t.split()))])
+                for t in texts
+            )
+            rep_langs.extend(langs)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "text": pa.array(rep_texts, pa.string()),
+                "lang": pa.array(rep_langs, pa.string()),
+            }
+        )
     pages, golden = generate_pages_table(docs)
     for path, table in ((pages_path, pages), (golden_path, golden)):
         tmp = path + f".tmp.{os.getpid()}"
