@@ -40,9 +40,18 @@ PAGE_SCHEMA = pa.schema(
 )
 
 
-def explode_pages(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+def explode_pages(
+    batch: pa.Table,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    end_page: int | None = None,
+) -> pa.Table:
     """Doc rows (kind == 'pages') -> page rows. Returns a LARGER table —
-    the map_batches explode idiom (SURVEY.md §2.1 S2)."""
+    the map_batches explode idiom (SURVEY.md §2.1 S2).
+
+    ``cfg.start_page`` / ``end_page`` clamp the page range like the
+    reference's start/end handling (document_job.py:60-62,
+    pdf_handler.py:50-55): pages outside [start_page, end_page] never leave
+    the explode, so downstream stages do no work for them (O2)."""
     cols: dict[str, list] = {name: [] for name in PAGE_SCHEMA.names}
     for row_idx in range(batch.num_rows):
         payload = batch["html"][row_idx].as_py()
@@ -50,7 +59,9 @@ def explode_pages(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Tab
         ts = batch["warc_ts"][row_idx].as_py()
         lang = batch["lang"][row_idx].as_py()
         for page_idx, (w, h, raw) in enumerate(unpack_pages(payload)):
-            page_num = cfg.start_page + page_idx
+            page_num = 1 + page_idx
+            if page_num < cfg.start_page or (end_page is not None and page_num > end_page):
+                continue
             cols["url"].append(url)
             cols["warc_ts"].append(ts)
             cols["lang"].append(lang)
