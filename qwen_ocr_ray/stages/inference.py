@@ -35,20 +35,41 @@ class StubBackend:
         return stub_figures(page_num, image_bytes)
 
 
+TEXT_SYSTEM_PROMPT = (
+    "You are a Document Digitization Engine converting document pages to "
+    "Markdown. Output ONLY the raw Markdown for the pages, continuing "
+    "seamlessly from the preceding context; no code fences, no page markers."
+)
+FIGURES_SYSTEM_PROMPT = (
+    "You are a Visual Element Extraction Engine. Identify important figures "
+    "on each page and return JSON rows (page_number, fig_number, bbox "
+    "normalized 0-1000, caption, element_type)."
+)
+
+
 class OpenAICompatBackend:
-    """Live OpenAI-compatible VLM backend (reference semantics: retry x3 on
-    HTTP >= 400 with 2**attempt backoff, document_job.py:132-161)."""
+    """Live OpenAI-compatible VLM backend.
+
+    Client construction happens once per actor (the seam the reference keeps
+    in its config singleton, config.py:23-25); per-call retry follows the
+    reference policy exactly: up to 3 attempts, backoff 2**attempt seconds,
+    retry ONLY on HTTP status >= 400, anything else fatal
+    (document_job.py:132-161; config.py:56-58). In this sandbox the openai
+    package/network are absent, so construction raises NotImplementedError —
+    the Ray plumbing above it is identical for the stub backend.
+    """
 
     def __init__(self, cfg: EngineConfig, base_url: str, api_key: str, model: str):
         try:
-            from openai import OpenAI  # noqa: F401
+            from openai import OpenAI
         except ImportError as e:
             raise NotImplementedError(
                 "openai client not available in this environment; "
                 "use StubBackend (deterministic) instead"
             ) from e
         self.cfg = cfg
-        raise NotImplementedError("live VLM backend requires network access")
+        self.model = model
+        self.client = OpenAI(base_url=base_url, api_key=api_key)
 
     def _retry(self, fn):
         cfg = self.cfg
@@ -64,6 +85,46 @@ class OpenAICompatBackend:
                 if attempt < cfg.max_retry_attempts - 1:
                     time.sleep(cfg.exponential_backoff_base**attempt)
         raise RuntimeError("Max retries exceeded") from last
+
+    def transcribe_page(self, page_num: int, image_bytes: bytes,
+                        width: int = 0, height: int = 0, context: str = "") -> str:
+        from qwen_ocr_ray.functions.markdown import clean_markdown_output
+        from qwen_ocr_ray.functions.payload import build_image_content, build_messages
+
+        content, _ = build_image_content([(page_num, image_bytes, width, height)])
+        messages = build_messages(TEXT_SYSTEM_PROMPT, context, content, 1)
+
+        def call():
+            resp = self.client.chat.completions.create(
+                model=self.model,
+                messages=messages,
+                max_tokens=self.cfg.max_tokens,
+                temperature=self.cfg.temperature,
+            )
+            return clean_markdown_output(resp.choices[0].message.content or "")
+
+        return self._retry(call)
+
+    def detect_figures(self, page_num: int, image_bytes: bytes,
+                       width: int = 0, height: int = 0) -> list[dict]:
+        import json
+
+        from qwen_ocr_ray.functions.payload import build_image_content, build_messages
+
+        content, _ = build_image_content([(page_num, image_bytes, width, height)],
+                                         downscale=False)
+        messages = build_messages(FIGURES_SYSTEM_PROMPT, "", content, 1)
+
+        def call():
+            resp = self.client.chat.completions.create(
+                model=self.model,
+                messages=messages,
+                response_format={"type": "json_object"},
+            )
+            parsed = json.loads(resp.choices[0].message.content or "{}")
+            return parsed.get("images", [])
+
+        return self._retry(call)
 
 
 class TranscribePages:
