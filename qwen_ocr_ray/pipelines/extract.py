@@ -72,8 +72,16 @@ def sized_read_parquet(
     nb = _path_bytes(path) // (16 << 20)
     if nb > 512:
         return ray.data.read_parquet(path, columns=columns)
+    # floor at the session CPU count so downstream map stages (parallelism ==
+    # block count) can use the whole machine even when the file is small
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=max(8, int(nb))
+        path, columns=columns, override_num_blocks=max(8, cpus, int(nb))
     )
 
 
@@ -91,19 +99,72 @@ def route_and_checkpoint(
     force: bool = False,
     num_buckets: int | None = None,
 ) -> str:
-    """Phase A. Idempotent: skipped when the checkpoint's _SUCCESS marker
-    exists (the coarse resume point; per-shard manifests live in
-    pipelines/sharded.py)."""
+    """Phase A: exact url dedup + kind routing -> kind-partitioned checkpoint.
+
+    The exchange is DISK-BASED: one streaming Dataset pass appends the
+    ``bucket = hash(url) % B`` column and writes bucket-partitioned Parquet
+    (the write IS the all-to-all — each task appends its rows to per-bucket
+    files); then B parallel raw Ray tasks each load one bucket, run the
+    vectorized first-fetch-wins dedup + kind classification, and write into
+    the kind-partitioned layout. Raw tasks are justified here (SURVEY.md §7):
+    Ray Data's ``groupby().map_groups`` re-materializes payload-heavy groups
+    row-wise (measured 528s vs 35s for a bare sort on 1.5 GB of binary rows),
+    while the per-bucket reduce is a shared-nothing pyarrow kernel.
+
+    Idempotent via the _SUCCESS marker (the coarse resume point; per-shard
+    manifests live in pipelines/sharded.py).
+    """
+    import shutil
+
+    import ray
+
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
+    from qwen_ocr_ray.stages.dedup_url import first_per_key
+
     success = os.path.join(routed_dir, "_SUCCESS")
     if os.path.exists(success) and not force:
         return routed_dir
-    ds = dedup_first_fetch(
-        load_pages(pages_path), approx_rows=approx_rows, num_buckets=num_buckets
+    os.makedirs(routed_dir, exist_ok=True)
+
+    b = num_buckets or pick_num_buckets(approx_rows)
+    exchange_dir = os.path.join(routed_dir, "_exchange")
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+    for entry in os.listdir(routed_dir):  # clear partials from a crashed run
+        if entry.startswith("kind="):
+            shutil.rmtree(os.path.join(routed_dir, entry), ignore_errors=True)
+
+    ds = load_pages(pages_path).map_batches(
+        lambda t, nb=b: add_bucket_column(t, "url", nb), batch_format="pyarrow"
     )
-    # whole-block batches: the classify probe is C-speed; re-slicing into
-    # small batches multiplies per-call overhead for nothing
-    ds = ds.map_batches(add_kind_column, batch_format="pyarrow")
-    ds.write_parquet(routed_dir, partition_cols=["kind"])
+    ds.write_parquet(exchange_dir, partition_cols=["bucket"])
+
+    @ray.remote
+    def reduce_bucket(bucket_dir: str, out_root: str, bucket_id: int) -> int:
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(bucket_dir)
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        t = first_per_key(t, "url", [("warc_ts", "ascending"), ("html", "ascending")])
+        t = add_kind_column(t)
+        import pyarrow.compute as pc_
+
+        for kind in pc_.unique(t["kind"]).to_pylist():
+            part = t.filter(pc_.equal(t["kind"], kind)).drop_columns(["kind"])
+            out_dir = os.path.join(out_root, f"kind={kind}")
+            os.makedirs(out_dir, exist_ok=True)
+            pq_.write_table(part, os.path.join(out_dir, f"bucket-{bucket_id:05d}.parquet"))
+        return t.num_rows
+
+    bucket_dirs = sorted(
+        e for e in os.listdir(exchange_dir) if e.startswith("bucket=")
+    )
+    refs = [
+        reduce_bucket.remote(os.path.join(exchange_dir, e), routed_dir, i)
+        for i, e in enumerate(bucket_dirs)
+    ]
+    ray.get(refs)
+    shutil.rmtree(exchange_dir, ignore_errors=True)
     with open(success, "w") as f:
         f.write("ok")
     return routed_dir
