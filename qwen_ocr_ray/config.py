@@ -40,7 +40,7 @@ class EngineConfig:
     # Batches of binary page rows are kept small; text batches large.
     text_batch_size: int = 4096
     binary_batch_size: int = 64
-    inference_concurrency: tuple[int, int] = (2, 8)
+    inference_concurrency: tuple[int, int] = (2, 32)
 
     # Skew handling: number of salt buckets for hot domains.
     salt_buckets: int = 16

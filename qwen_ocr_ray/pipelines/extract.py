@@ -126,7 +126,17 @@ def route_and_checkpoint(
         return routed_dir
     os.makedirs(routed_dir, exist_ok=True)
 
-    b = num_buckets or pick_num_buckets(approx_rows)
+    if num_buckets:
+        b = num_buckets
+    else:
+        # bucket ~32 MiB of payload each, floored at the CPU count: ray
+        # workers run pyarrow single-threaded (OMP_NUM_THREADS=1), so reduce
+        # parallelism comes entirely from the bucket count
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        b = max(cpus, min(4096, _path_bytes(pages_path) // (32 << 20)))
     exchange_dir = os.path.join(routed_dir, "_exchange")
     shutil.rmtree(exchange_dir, ignore_errors=True)
     for entry in os.listdir(routed_dir):  # clear partials from a crashed run
@@ -205,18 +215,24 @@ def build_pages_branch(
     backend: str = "stub",
     num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
-    page_rows = (
-        pages_rows.map_batches(
-            lambda t, c=cfg: explode_pages(t, c),
-            batch_format="pyarrow",
-            batch_size=cfg.binary_batch_size,
+    exploded = pages_rows.map_batches(
+        lambda t, c=cfg: explode_pages(t, c),
+        batch_format="pyarrow",
+        batch_size=cfg.binary_batch_size,
+    ).map_batches(
+        lambda t, c=cfg: optimize_pages_batch(t, c),
+        batch_format="pyarrow",
+        batch_size=cfg.binary_batch_size,
+    )
+    if backend == "stub":
+        # stateless backend -> plain tasks (no actor spin-up; see inference.py)
+        from qwen_ocr_ray.stages.inference import transcribe_pages_stub
+
+        transcribed = exploded.map_batches(
+            transcribe_pages_stub, batch_format="pyarrow", batch_size=cfg.binary_batch_size
         )
-        .map_batches(
-            lambda t, c=cfg: optimize_pages_batch(t, c),
-            batch_format="pyarrow",
-            batch_size=cfg.binary_batch_size,
-        )
-        .map_batches(
+    else:
+        transcribed = exploded.map_batches(
             TranscribePages,
             fn_constructor_kwargs={"cfg": cfg, "backend": backend},
             batch_format="pyarrow",
@@ -224,9 +240,8 @@ def build_pages_branch(
             concurrency=cfg.inference_concurrency,
             num_cpus=1,
         )
-        .map_batches(  # page payloads are dead weight past transcription
-            lambda t: t.drop_columns(["image", "width", "height"]), batch_format="pyarrow"
-        )
+    page_rows = transcribed.map_batches(  # page payloads are dead weight past transcription
+        lambda t: t.drop_columns(["image", "width", "height"]), batch_format="pyarrow"
     )
     return fold_documents(page_rows, approx_docs=approx_docs, num_buckets=num_buckets)
 

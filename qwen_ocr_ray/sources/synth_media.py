@@ -112,6 +112,6 @@ def ensure_media_dataset(sf_dir: str, cache_root: str = "/tmp/qor_media") -> str
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     table = generate_media_table(docs["doc_id"].to_pylist())
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=1024)
     os.replace(tmp, path)
     return path

@@ -277,6 +277,6 @@ def ensure_pages_dataset(
     pages, golden = generate_pages_table(docs)
     for path, table in ((pages_path, pages), (golden_path, golden)):
         tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, row_group_size=1024)
         os.replace(tmp, path)
     return pages_path, golden_path

@@ -127,6 +127,24 @@ class OpenAICompatBackend:
         return self._retry(call)
 
 
+def transcribe_pages_stub(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the transcribe stage for the STUB backend.
+
+    The stub holds no client/model state, so an actor pool would only add
+    spin-up latency (each actor is a fresh worker process); plain tasks reuse
+    the already-warm task workers. Live backends MUST use the
+    :class:`TranscribePages` actor class instead — client construction
+    belongs in ``__init__`` (SURVEY.md §2.3 A1)."""
+    backend = StubBackend()
+    mds = [
+        backend.transcribe_page(pn, raw)
+        for pn, raw in zip(batch["page_num"].to_pylist(), batch["image"].to_pylist())
+    ]
+    md_arr = pa.array(mds, pa.string())
+    out_tokens = pa.array([len(m.split()) for m in mds], pa.int64())
+    return batch.append_column("md", md_arr).append_column("output_tokens", out_tokens)
+
+
 class TranscribePages:
     """Actor-pool stage: page rows -> page rows + ``md`` + ``output_tokens``.
 
