@@ -56,3 +56,30 @@ PAGE_LABEL_SUFFIX = ":\n"
 DOCUMENT_BREADCRUMB_HEADER = "### DOCUMENT LOCATION BREADCRUMB\n"
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def save_json(cfg: EngineConfig, path: str) -> None:
+    """Persist config as JSON (reference: Config.save, src/config.py:169-180).
+
+    Unlike the reference's singleton round-trip to ~/.config, this is an
+    explicit job-config file read on the driver before graph construction."""
+    import dataclasses
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_json(path: str) -> EngineConfig:
+    """Load config from JSON, ignoring unknown keys (reference: Config.load,
+    src/config.py:182-192 — only known, non-private fields are applied)."""
+    import dataclasses
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    known = {f.name for f in dataclasses.fields(EngineConfig)}
+    kwargs = {k: v for k, v in data.items() if k in known}
+    if "inference_concurrency" in kwargs:
+        kwargs["inference_concurrency"] = tuple(kwargs["inference_concurrency"])
+    return EngineConfig(**kwargs)

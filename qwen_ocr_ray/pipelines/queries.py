@@ -854,3 +854,139 @@ QUERIES.update(
         "domain_partitions": q_domain_partitions,
     }
 )
+
+
+# --- session windows (gaps-and-islands; streaming analogue) -------------------
+
+def q_events_sessions(sf_dir: str):
+    """Per-user session windows (30-min inactivity gap): the ordered per-key
+    stateful windowing pattern, bucketed on user."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return add_bucket_column(
+            t.append_column("uk", pc.cast(t["user_id"], pa.string())), "uk", 16
+        ).drop_columns(["uk"])
+
+    def sessions(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["bucket"])).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            is_new=(
+                pl.col("ts").diff().over("user_id").is_null()
+                | (pl.col("ts").diff().over("user_id") > pl.duration(minutes=30))
+            ).cast(pl.Int64)
+        ).with_columns(session_id=pl.col("is_new").cum_sum().over("user_id"))
+        out = (
+            df.group_by(["user_id", "session_id"])
+            .agg(
+                session_start=pl.col("ts").min(),
+                n_events=pl.len().cast(pl.Int64),
+                sum_value=pl.col("value").sum().round(4).cast(pl.Float32),
+            )
+            .sort(["user_id", "session_id"])
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts)                            AS session_start,
+       COUNT(*)                           AS n_events,
+       CAST(ROUND(SUM(value), 4) AS REAL) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# --- top-k per group -----------------------------------------------------------
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Top-3 orders per customer by price: bucketed per-key top-k (never a
+    global sort)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return add_bucket_column(
+            t.append_column("ck", pc.cast(t["o_custkey"], pa.string())), "ck", 16
+        ).drop_columns(["ck"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["bucket"]))
+        out = (
+            df.sort(["o_custkey", "o_totalprice", "o_orderkey"],
+                    descending=[False, True, False])
+            .group_by("o_custkey", maintain_order=True)
+            .head(3)
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
+
+# --- IVF approximate top-k (scale path; rows-only) ----------------------------
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF top-k: centroids trained on the (small) corpus sample, query probes
+    nprobe cells. Approximate; rows-only check."""
+    from qwen_ocr_ray.stages.similarity import ivf_topk, kmeans_centroids, _normalize
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    mat = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
+    ids = emb["vec_id"].to_pylist()
+    query = mat[ids.index(0)]
+    centroids = kmeans_centroids(mat, k=16)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, query, k=6, centroids=centroids, nprobe=3)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+
+
+QUERIES.update(
+    {
+        "events_sessions": q_events_sessions,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "ann_ivf_topk": q_ann_ivf_topk,
+    }
+)
+ORACLE.update(
+    {
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    }
+)

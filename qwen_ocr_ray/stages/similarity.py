@@ -198,3 +198,53 @@ def lsh_near_pairs(
             batch_format="pyarrow",
         )
     )
+
+
+def kmeans_centroids(m: np.ndarray, k: int, iters: int = 8, seed: int = 555) -> np.ndarray:
+    """Deterministic Lloyd iterations for IVF coarse quantization (numpy)."""
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds, query: np.ndarray, k: int = 5, *, id_col: str = "vec_id",
+    centroids: np.ndarray, nprobe: int = 2,
+):
+    """IVF top-k: probe only batches' rows assigned to the query's nearest
+    ``nprobe`` centroid cells (centroids trained offline on a sample and
+    broadcast). Approximate — recall depends on nprobe; the scale path when
+    brute force over the corpus per query is too expensive."""
+    qn = query / (np.linalg.norm(query) or 1.0)
+    probe_cells = np.argsort(centroids @ qn)[::-1][:nprobe]
+    ref = ray.put((qn, centroids, set(int(c) for c in probe_cells)))
+
+    def score(t: pa.Table) -> pa.Table:
+        q, cents, cells = ray.get(ref)
+        m = _normalize(_matrix(t))
+        assign = (m @ cents.T).argmax(axis=1)
+        mask = np.isin(assign, list(cells))
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)[mask]
+        sims = m[mask] @ q
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "score": pa.array(np.round(sims, 6).astype(np.float32), pa.float32()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )

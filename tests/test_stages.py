@@ -136,3 +136,43 @@ class TestStubDeterminism:
             for f in backend.detect_figures(pn, raw)
         ]
         assert figs.num_rows == len(again)
+
+
+class TestConfigJson:
+    def test_roundtrip_and_unknown_keys(self, tmp_path):
+        import json
+        from dataclasses import replace
+
+        from qwen_ocr_ray.config import DEFAULT_CONFIG, load_json, save_json
+
+        cfg = replace(DEFAULT_CONFIG, pages_per_batch=7, min_area_fraction=0.1)
+        p = str(tmp_path / "cfg.json")
+        save_json(cfg, p)
+        assert load_json(p) == cfg
+        # unknown keys ignored (reference Config.load applies only known fields)
+        data = json.load(open(p))
+        data["bogus_key"] = 123
+        json.dump(data, open(p, "w"))
+        assert load_json(p) == cfg
+
+
+class TestIvf:
+    def test_ivf_recovers_duplicate(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from qwen_ocr_ray.stages.similarity import ivf_topk, kmeans_centroids, _normalize
+
+        rng = np.random.RandomState(5)
+        base = _normalize(rng.standard_normal((60, 16)))
+        vecs = np.vstack([base, base[9]])  # id 60 == id 9
+        t = pa.table(
+            {
+                "vec_id": pa.array(list(range(61)), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        cents = kmeans_centroids(vecs, k=8)
+        top = ivf_topk(ray.data.from_arrow(t), base[9], k=2, centroids=cents, nprobe=2).to_pandas()
+        assert {9, 60} == set(top.vec_id)
