@@ -90,6 +90,54 @@ def run_bench() -> dict:
 
     ray.get([_warm.remote() for _ in range(NUM_CPUS)])
 
+    if os.environ.get("QOR_BENCH_MODE") == "minhash":
+        # compute-bound leg: minhash sketch + band explode + bucket count over
+        # replicated documents. Almost no allocation per row -> isolates the
+        # engine's CPU scaling from this VM's pathological page-fault cost.
+        import pyarrow as pa
+
+        from qwen_ocr_ray.stages.bucketing import add_bucket_column
+        from qwen_ocr_ray.stages.dedup_text import minhash_explode_batch
+
+        docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        reps = []
+        for k in range(REPLICATE):
+            t = docs
+            if k:
+                import pyarrow.compute as pc
+
+                t = t.set_column(0, "doc_id", pc.add(t["doc_id"], k * 10_000_000))
+            reps.append(t)
+        big = pa.concat_tables(reps)
+        n_docs = big.num_rows
+        ds = ray.data.from_arrow(big).repartition(NUM_CPUS * 4)
+        t0 = time.perf_counter()
+        out = (
+            ds.map_batches(minhash_explode_batch, batch_format="pyarrow")
+            .map_batches(
+                lambda t: add_bucket_column(
+                    t.drop_columns(["signature"]), "band_key", 64
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket")
+            .count()
+        )
+        out.to_pandas()
+        headline = time.perf_counter() - t0
+        ray.shutdown()
+        return {
+            "metric": "minhash_sketch_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1),
+        }
+
     # headline: flagship extraction, fresh checkpoint dir (no resume credit)
     routed_dir = f"/tmp/qor_bench_routed_{os.getpid()}"
     out_dir = f"/tmp/qor_bench_out_{os.getpid()}"
@@ -150,7 +198,7 @@ def run_scaling() -> dict:
     input is replicated so the job is compute-dominated (~160k docs at
     sf0.1 x32); generation is cached and untimed.
     """
-    replicate = int(os.environ.get("QOR_SCALING_REPLICATE", "32"))
+    replicate = int(os.environ.get("QOR_SCALING_REPLICATE", "16"))
     lo_cpus, hi_cpus = (
         int(x) for x in os.environ.get("QOR_SCALING_CPUS", "4,16").split(",")
     )
@@ -167,18 +215,30 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(lo_cpus), one(hi_cpus)
-    docs = lo["docs"]
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    def one_mode(mode: str) -> dict:
+        os.environ["QOR_BENCH_MODE"] = mode
+        try:
+            lo, hi = one(lo_cpus), one(hi_cpus)
+        finally:
+            os.environ.pop("QOR_BENCH_MODE", None)
+        t_lo, t_hi = lo["value"], hi["value"]
+        return {
+            f"sec_{lo_cpus}": t_lo,
+            f"sec_{hi_cpus}": t_hi,
+            f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
+            f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
+            "scaling_efficiency": round((t_lo / t_hi) / (hi_cpus / lo_cpus), 3),
+            "docs": lo["docs"],
+        }
+
+    flagship = one_mode("flagship")
+    minhash = one_mode("minhash")
     return {
         "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
-        f"sec_{lo_cpus}": t_lo,
-        f"sec_{hi_cpus}": t_hi,
-        f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
-        f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "docs": docs,
+        # headline fields mirror the flagship numbers
+        **flagship,
+        "flagship": flagship,
+        "minhash_compute_bound": minhash,
         "replicate": replicate,
         "sf": SF_DIR,
     }

@@ -16,3 +16,11 @@ Library code never calls ``ray.init()`` — the driver owns the session.
 """
 
 __version__ = "0.1.0"
+
+
+# NOTE on this sandbox's memory behavior (measured, see CLAUDE.md): fresh
+# page faults are ~1000x slower than touching already-mapped pages
+# (0.01 GB/s vs 9.5 GB/s memcpy). Disabling jemalloc decay to keep arenas
+# hot was tried and made things WORSE (grown RSS degrades the VM further),
+# so allocator defaults are left alone; the engine instead minimizes fresh
+# allocation by keeping batches Arrow-native and block counts moderate.

@@ -90,6 +90,39 @@ def load_pages(pages_path: str) -> "ray.data.Dataset":
     return sized_read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
 
 
+def _contested_winners(pages_path: str) -> dict[str, object]:
+    """Winners of CONTESTED urls (count > 1): url -> min warc_ts.
+
+    Column-pruned pass over (url, warc_ts) only — payload bytes never move.
+    Per-batch partial (count, min ts) combiners collapse the shuffle to
+    |unique urls per batch| rows; the final filter keeps only duplicated
+    urls, so the collected dict is duplicate-fraction-sized (~2% of urls in
+    a CC-style crawl), safe to broadcast at bench scale. At 10^12 rows with
+    a high dup rate, use dedup_strategy="exchange" instead.
+    """
+    import pyarrow.compute as pc_
+
+    cheap = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("ones", pa.array([1] * t.num_rows, pa.int64()))
+        g = t.group_by(["url"]).aggregate([("warc_ts", "min"), ("ones", "sum")])
+        return g.rename_columns(["url", "min_ts", "n"])
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
+        cheap.map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Min("min_ts", alias_name="min_ts"), Sum("n", alias_name="n"))
+    )
+    contested = agg.map_batches(
+        lambda t: t.filter(pc_.greater(t["n"], 1)).drop_columns(["n"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded by the duplicate fraction
+    return dict(zip(contested.url, contested.min_ts))
+
+
 def route_and_checkpoint(
     pages_path: str,
     routed_dir: str,
@@ -98,8 +131,71 @@ def route_and_checkpoint(
     approx_rows: int | None = None,
     force: bool = False,
     num_buckets: int | None = None,
+    dedup_strategy: str = "broadcast",
 ) -> str:
     """Phase A: exact url dedup + kind routing -> kind-partitioned checkpoint.
+
+    Two strategies:
+
+    ``broadcast`` (default): a cheap column-pruned pass finds the winners of
+    contested urls (first fetch = min warc_ts); the winner map is broadcast
+    and the full rows are filtered + routed + written in a SINGLE payload
+    pass. Payload bytes are written once and never shuffled. Assumes
+    (url, warc_ts) identifies one row (same-instant duplicate fetches of one
+    url would both survive) and a broadcastable duplicate fraction.
+
+    ``exchange``: the fully general path — disk-based bucket exchange on url
+    then per-bucket reduce with a byte-level tie-break. Use when same-instant
+    duplicates are possible or the dup fraction is too large to broadcast.
+    """
+    if dedup_strategy == "broadcast" and not force and not os.path.exists(
+        os.path.join(routed_dir, "_SUCCESS")
+    ):
+        os.makedirs(routed_dir, exist_ok=True)
+        for entry in os.listdir(routed_dir):
+            if entry.startswith("kind="):
+                import shutil
+
+                shutil.rmtree(os.path.join(routed_dir, entry), ignore_errors=True)
+        winners = _contested_winners(pages_path)
+        import ray as _ray
+
+        win_ref = _ray.put(winners)
+
+        def filter_route(t: pa.Table) -> pa.Table:
+            win: dict = _ray.get(win_ref)
+            if win:
+                urls = t["url"].to_pylist()
+                tss = t["warc_ts"].to_pylist()
+                keep = [
+                    (u not in win) or (ts == win[u]) for u, ts in zip(urls, tss)
+                ]
+                t = t.filter(pa.array(keep, pa.bool_()))
+            return add_kind_column(t)
+
+        ds = load_pages(pages_path).map_batches(filter_route, batch_format="pyarrow")
+        ds.write_parquet(routed_dir, partition_cols=["kind"])
+        with open(os.path.join(routed_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        return routed_dir
+    if dedup_strategy == "broadcast":  # checkpoint already complete
+        return routed_dir
+    return _route_and_checkpoint_exchange(
+        pages_path, routed_dir, cfg,
+        approx_rows=approx_rows, force=force, num_buckets=num_buckets,
+    )
+
+
+def _route_and_checkpoint_exchange(
+    pages_path: str,
+    routed_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    approx_rows: int | None = None,
+    force: bool = False,
+    num_buckets: int | None = None,
+) -> str:
+    """Exchange-strategy phase A (see route_and_checkpoint docstring).
 
     The exchange is DISK-BASED: one streaming Dataset pass appends the
     ``bucket = hash(url) % B`` column and writes bucket-partitioned Parquet

@@ -7,6 +7,7 @@
     partitioning) yields the identical (url -> text) mapping
 """
 
+import os
 import shutil
 
 import pandas as pd
@@ -75,3 +76,31 @@ def test_distribution_invariance(synth, extracted):
     assert a.url.tolist() == b.url.tolist()
     assert a.text.tolist() == b.text.tolist()
     shutil.rmtree(routed_root / "b", ignore_errors=True)
+
+
+def test_dedup_strategy_parity(synth, tmp_path_factory):
+    """broadcast and exchange phase-A strategies produce identical checkpoints
+    (same kept rows per url)."""
+    import pyarrow.parquet as pq_
+
+    from qwen_ocr_ray.pipelines.extract import route_and_checkpoint
+
+    pages_path, _, _ = synth
+    roots = {}
+    for strat in ("broadcast", "exchange"):
+        d = str(tmp_path_factory.mktemp(f"routed_{strat}"))
+        route_and_checkpoint(pages_path, d, approx_rows=600, dedup_strategy=strat)
+        frames = []
+        for entry in sorted(os.listdir(d)):
+            if entry.startswith("kind="):
+                t = pq_.read_table(os.path.join(d, entry), columns=["url", "warc_ts"])
+                frames.append(t.to_pandas().assign(kind=entry))
+        import pandas as pd
+
+        roots[strat] = (
+            pd.concat(frames).sort_values("url").reset_index(drop=True)
+        )
+    a, b = roots["broadcast"], roots["exchange"]
+    assert a.url.tolist() == b.url.tolist()
+    assert a.warc_ts.tolist() == b.warc_ts.tolist()
+    assert a.kind.tolist() == b.kind.tolist()
