@@ -1,27 +1,27 @@
 """Flagship pipeline: CC-style pages parquet -> extracted markdown per url.
 
 Two phases (SURVEY.md §3 "Target lifecycle"), joined by a kind-partitioned
-Parquet checkpoint so each branch reads ONLY its own rows and the expensive
-dedup shuffle runs exactly once:
+Parquet checkpoint so each branch reads ONLY its own rows:
 
-  Phase A (one shuffle):
-    read_parquet(url, warc_ts, html, lang)     # `text` distractor pruned at the read
-      -> exact dedup by url, first fetch wins  # hash-bucket shuffle on url
-      -> route by payload kind
-      -> write_parquet(routed_dir, partition_cols=["kind"])   # checkpoint
+  Phase A (dedup + route, payload written ONCE):
+    pass 1: column-pruned (url, warc_ts) scan -> winners of contested urls
+            (partial combiners; result is duplicate-fraction-sized, broadcast)
+    pass 2: read full rows -> drop losers -> route by payload kind
+            -> write_parquet(routed_dir, partition_cols=["kind"])  # checkpoint
+    (alternative: dedup_strategy="exchange" — disk-based bucket exchange +
+     per-bucket reduce — for same-instant dups / unbroadcastable dup rates)
 
   Phase B (no shuffle except the document fold):
     kind=html    -> map_batches DOM-extract (stateless, hot)
-    kind=pages   -> explode -> optimize -> transcribe (actor pool)
+    kind=pages   -> explode -> optimize -> transcribe (stub tasks / live actors)
                     -> per-document fold    # hash-bucket shuffle on url
     other kinds  -> passthrough error rows
     union of the three branches -> write / return
 
 A Ray Data Dataset is a lazy graph: consuming one upstream from several
 branches re-executes it per branch, so the checkpoint is both the resume
-point and the fan-out point. At 10^12 rows the routed checkpoint is a full
-write + pruned re-reads — cheaper than re-running the dedup shuffle per
-branch, and it makes phase B restartable without redoing phase A.
+point and the fan-out point. At 10^12 rows the routed checkpoint is one full
+write + pruned re-reads, and payload bytes are never shuffled.
 """
 
 from __future__ import annotations
@@ -34,7 +34,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from qwen_ocr_ray.config import DEFAULT_CONFIG, EngineConfig
-from qwen_ocr_ray.stages.dedup_url import dedup_first_fetch
 from qwen_ocr_ray.stages.extract_html import OUT_SCHEMA, extract_html_batch, passthrough_batch
 from qwen_ocr_ray.stages.inference import TranscribePages
 from qwen_ocr_ray.stages.pages_branch import explode_pages, fold_documents, optimize_pages_batch

@@ -990,3 +990,19 @@ ORACLE.update(
         "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     }
 )
+
+
+def q_embedding_dedup_filter(sf_dir: str):
+    """Embedding near-dup FILTER: corpus minus larger members of >=0.4-cosine
+    pairs (one representative per near-dup cluster; rows-only)."""
+    from qwen_ocr_ray.stages.similarity import cosine_pairs, near_dup_representatives
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pairs(ds, full, 0.4)
+    kept = near_dup_representatives(ds, pairs)
+    return kept.select_columns(["vec_id"])
+
+
+QUERIES["embedding_dedup_filter"] = q_embedding_dedup_filter

@@ -248,3 +248,26 @@ def ivf_topk(
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def near_dup_representatives(ds, pairs_ds, *, id_col: str = "vec_id"):
+    """Near-dup FILTER: keep one representative per duplicate pair/cluster.
+
+    Greedy deterministic rule: any id that appears as the LARGER member of a
+    near-dup pair is dropped (transitively this keeps each cluster's minimum
+    id when pairs form chains through their minima; for the sparse near-dup
+    graphs of deduplication thresholds this equals min-per-cluster). The
+    dropped-id set is duplicate-fraction-sized and broadcast."""
+    dropped = set()
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dropped.update(batch["vec_b" if "vec_b" in batch.column_names else "doc_b"].to_pylist())
+    ref = ray.put(dropped)
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop: set = ray.get(ref)
+        if not drop:
+            return t
+        ids = t[id_col].to_pylist()
+        return t.filter(pa.array([i not in drop for i in ids], pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

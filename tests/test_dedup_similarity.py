@@ -186,3 +186,36 @@ class TestEmbeddingSimilarity:
         top = cosine_topk(ds, q, k=2).to_pandas()
         assert set(top.vec_id) == {7, 31}
         assert (top.score >= 0.999999).all()
+
+
+class TestNearDupFilter:
+    def test_representatives_keep_min_ids(self, planted_vectors):
+        from qwen_ocr_ray.stages.similarity import cosine_pairs, near_dup_representatives
+
+        ds, full = planted_vectors
+        pairs = cosine_pairs(ds, full, 0.95)
+        kept = near_dup_representatives(ds, pairs).to_pandas()
+        # planted: 30 ~ 3 and 31 == 7 -> 30, 31 dropped; 3, 7 kept
+        assert 30 not in set(kept.vec_id) and 31 not in set(kept.vec_id)
+        assert {3, 7} <= set(kept.vec_id)
+        assert len(kept) == 30
+
+
+class TestBucketedHashJoin:
+    def test_generic_join(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from qwen_ocr_ray.stages.join import bucketed_hash_join
+
+        left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                         "lv": pa.array(["a", "b", "c", "d"], pa.string())})
+        right = pa.table({"k": pa.array([2, 3, 5], pa.int64()),
+                          "rv": pa.array([20.0, 30.0, 50.0], pa.float64())})
+        out = bucketed_hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+            left.schema, right.schema, num_buckets=4,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert out.k.tolist() == [2, 3]
+        assert out.lv.tolist() == ["b", "c"]
+        assert out.rv.tolist() == [20.0, 30.0]
