@@ -119,6 +119,8 @@ def _contested_winners(pages_path: str) -> dict[str, object]:
         lambda t: t.filter(pc_.greater(t["n"], 1)).drop_columns(["n"]),
         batch_format="pyarrow",
     ).to_pandas()  # bounded by the duplicate fraction
+    if not len(contested):  # dup-free input: empty frame may carry no columns
+        return {}
     return dict(zip(contested.url, contested.min_ts))
 
 

@@ -51,8 +51,55 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
-def dedup_exact_text(ds, *, id_col: str = "doc_id", text_col: str = "text", num_buckets: int = 32):
-    """Keep the smallest id per distinct text content."""
+def dedup_exact_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     strategy: str = "broadcast", num_buckets: int = 32):
+    """Keep the smallest id per distinct text content.
+
+    ``broadcast`` (default): shuffle only (fingerprint, id) pairs — a
+    partial-combiner groupby finds the winner id per CONTESTED fingerprint
+    (count > 1); that duplicate-fraction-sized map is broadcast and rows are
+    filtered in place. Document payloads never move.
+
+    ``exchange``: bucket-shuffle full rows (general but pays the
+    payload-through-groupby cost; see CLAUDE.md on map_groups)."""
+    if strategy == "broadcast":
+        import ray
+        from ray.data.aggregate import Min, Sum
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = fingerprint_batch(t, text_col).select(["fingerprint", id_col])
+            t = t.append_column("ones", pa.array([1] * t.num_rows, pa.int64()))
+            g = t.group_by(["fingerprint"]).aggregate([(id_col, "min"), ("ones", "sum")])
+            return g.rename_columns(["fingerprint", "win_id", "n"])
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("fingerprint")
+            .aggregate(Min("win_id", alias_name="win_id"), Sum("n", alias_name="n"))
+        )
+        contested = agg.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)).drop_columns(["n"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        winners = (
+            dict(zip(contested.fingerprint, contested.win_id))
+            if len(contested)
+            else {}
+        )
+        ref = ray.put(winners)
+
+        def keep(t: pa.Table) -> pa.Table:
+            win: dict = ray.get(ref)
+            t = fingerprint_batch(t, text_col)
+            if not win:
+                return t
+            fps = t["fingerprint"].to_pylist()
+            ids = t[id_col].to_pylist()
+            mask = [(f not in win) or (i == win[f]) for f, i in zip(fps, ids)]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
     def bucket(t: pa.Table) -> pa.Table:
         return add_bucket_column(fingerprint_batch(t, text_col), "fingerprint", num_buckets)
 

@@ -219,3 +219,12 @@ class TestBucketedHashJoin:
         assert out.k.tolist() == [2, 3]
         assert out.lv.tolist() == ["b", "c"]
         assert out.rv.tolist() == [20.0, 30.0]
+
+
+def test_exact_dedup_strategy_parity(planted_ds):
+    from qwen_ocr_ray.stages.dedup_text import dedup_exact_text
+
+    a = dedup_exact_text(planted_ds, strategy="broadcast").to_pandas()
+    b = dedup_exact_text(planted_ds, strategy="exchange").to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert len(a) == 41
