@@ -105,6 +105,27 @@ class OpenAICompatBackend:
 
         return self._retry(call)
 
+    def transcribe_window(
+        self, pages: list[tuple[int, bytes, int, int]], context: str
+    ) -> str:
+        """One multi-page batch call (reference: 10 pages per request,
+        document_job.py:65-161 / config.py:52)."""
+        from qwen_ocr_ray.functions.payload import build_image_content, build_messages
+
+        content, _ = build_image_content(pages)
+        messages = build_messages(TEXT_SYSTEM_PROMPT, context, content, len(pages))
+
+        def call():
+            resp = self.client.chat.completions.create(
+                model=self.model,
+                messages=messages,
+                max_tokens=self.cfg.max_tokens,
+                temperature=self.cfg.temperature,
+            )
+            return resp.choices[0].message.content or ""
+
+        return self._retry(call)
+
     def detect_figures(self, page_num: int, image_bytes: bytes,
                        width: int = 0, height: int = 0) -> list[dict]:
         import json
@@ -216,3 +237,64 @@ class DetectFigures:
                 cols["caption"].append(fig.get("caption"))
                 cols["element_type"].append(fig.get("element_type", "other"))
         return pa.table(cols, schema=self.SCHEMA)
+
+
+class TranscribeDocumentsLive:
+    """Live-backend document-level actor: the reference's sequential
+    batch-with-context loop (/root/reference/src/models/document_job.py:321-389)
+    as an actor-pool stage over WHOLE-DOCUMENT rows.
+
+    Input rows: {url, pages: list<struct{page_num:int32, image:binary,
+    width:int32, height:int32}>} (grouped upstream). For each document, pages
+    are windowed into cfg.pages_per_batch batches in order; each batch call
+    receives the breadcrumb context rendered from the running header stack,
+    and the stack is folded forward from the cleaned output — exactly the
+    reference's context-carry semantics (W2). Parallelism is across
+    documents; one document is strictly sequential.
+
+    Not runnable in this sandbox (no openai/network); the deterministic stub
+    path covers tests, and fold equivalence is proven there (the stub ignores
+    context, so the post-hoc fold equals the chained fold — tested in
+    test_stages.test_fold_matches_local_reference).
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, **backend_kwargs):
+        self.cfg = cfg
+        self.backend = OpenAICompatBackend(cfg, **backend_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.markdown import (
+            batch_iterator,
+            build_context,
+            clean_markdown_output,
+            extract_headers,
+            update_header_stack,
+        )
+
+        cfg = self.cfg
+        urls, texts, crumbs = [], [], []
+        for url, pages in zip(batch["url"].to_pylist(), batch["pages"].to_pylist()):
+            pages = sorted(pages, key=lambda p: p["page_num"])
+            stack: list = []
+            parts: list[str] = []
+            n = len(pages)
+            for _, ps, pe in batch_iterator(cfg.start_page, n, cfg.pages_per_batch):
+                window = pages[ps - 1 : pe]
+                context = build_context(stack)
+                raw = self.backend.transcribe_window(
+                    [(p["page_num"], p["image"], p["width"], p["height"]) for p in window],
+                    context,
+                )
+                cleaned = clean_markdown_output(raw)
+                parts.append(cleaned)
+                stack = update_header_stack(stack, extract_headers(cleaned))
+            urls.append(url)
+            texts.append("".join(parts))
+            crumbs.append(build_context(stack))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "final_breadcrumb": pa.array(crumbs, pa.string()),
+            }
+        )
