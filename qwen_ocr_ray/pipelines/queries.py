@@ -1006,3 +1006,16 @@ def q_embedding_dedup_filter(sf_dir: str):
 
 
 QUERIES["embedding_dedup_filter"] = q_embedding_dedup_filter
+
+
+def q_near_dup_clusters(sf_dir: str):
+    """Connected components over MinHash-LSH near-dup pairs: (node, component)
+    per pair-participating document (rows-only; label-propagation)."""
+    from qwen_ocr_ray.stages.clusters import connected_components
+    from qwen_ocr_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return connected_components(minhash_lsh_pairs(ds, threshold=0.5))
+
+
+QUERIES["near_dup_clusters"] = q_near_dup_clusters

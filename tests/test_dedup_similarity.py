@@ -228,3 +228,37 @@ def test_exact_dedup_strategy_parity(planted_ds):
     b = dedup_exact_text(planted_ds, strategy="exchange").to_pandas()
     assert sorted(a.doc_id) == sorted(b.doc_id)
     assert len(a) == 41
+
+
+class TestConnectedComponents:
+    def test_chain_and_separate_clusters(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from qwen_ocr_ray.stages.clusters import cluster_representatives, connected_components
+
+        # components: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
+        pairs = pa.table(
+            {
+                "doc_a": pa.array([1, 2, 3, 10, 20, 20], pa.int64()),
+                "doc_b": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(pairs)
+        comp = connected_components(ds).to_pandas().sort_values("node")
+        got = dict(zip(comp.node, comp.component))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+        reps = cluster_representatives(ds).to_pandas()
+        assert sorted(reps.representative) == [1, 10, 20]
+
+    def test_on_planted_text_pairs(self, planted_ds):
+        from qwen_ocr_ray.stages.clusters import connected_components
+        from qwen_ocr_ray.stages.dedup_text import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(planted_ds, threshold=0.5)
+        comp = connected_components(pairs).to_pandas()
+        got = dict(zip(comp.node, comp.component))
+        # docs 0, 100, 101 form one cluster; 1, 102 another
+        assert got[0] == got[100] == got[101] == 0
+        assert got[1] == got[102] == 1
