@@ -19,7 +19,6 @@ blocks, ``**bold**`` / ``*emph*``, links rendered as their anchor text.
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 
 # --- DOM-lite -----------------------------------------------------------------

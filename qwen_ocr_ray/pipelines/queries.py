@@ -29,7 +29,7 @@ import ray.data
 from qwen_ocr_ray.stages.agg import grouped_sums
 from qwen_ocr_ray.stages.dedup_url import first_per_key
 from qwen_ocr_ray.stages.bucketing import add_bucket_column
-from qwen_ocr_ray.stages.join import broadcast_join, bucketed_hash_join
+from qwen_ocr_ray.stages.join import broadcast_join
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
