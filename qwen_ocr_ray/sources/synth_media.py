@@ -103,7 +103,9 @@ def generate_media_table(doc_ids: list[int]) -> pa.Table:
 
 
 def ensure_media_dataset(sf_dir: str, cache_root: str = "/tmp/qor_media") -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    from qwen_ocr_ray.sources.synth_pages import GEN_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
     out_dir = os.path.join(cache_root, tag)
     path = os.path.join(out_dir, "media.parquet")
     if os.path.exists(path):

@@ -30,6 +30,8 @@ from qwen_ocr_ray.functions.stub_vlm import stub_transcribe_document
 from qwen_ocr_ray.sources.pagepack import pack_pages
 
 SEED = 42
+# bump when generator output changes: versions the /tmp cache directories
+GEN_VERSION = 2
 BASE_TS = _dt.datetime(2025, 1, 1)
 HOT_DOMAIN = "hot.example.com"
 N_COLD_DOMAINS = 49
@@ -243,7 +245,7 @@ def ensure_pages_dataset(
     """
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
     if replicate > 1:
         tag = f"{tag}_x{replicate}"
     out_dir = os.path.join(cache_root, tag)
