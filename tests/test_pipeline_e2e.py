@@ -104,3 +104,19 @@ def test_dedup_strategy_parity(synth, tmp_path_factory):
     assert a.url.tolist() == b.url.tolist()
     assert a.warc_ts.tolist() == b.warc_ts.tolist()
     assert a.kind.tolist() == b.kind.tolist()
+
+
+def test_training_prep_composition(synth):
+    from qwen_ocr_ray.pipelines.prep import run_training_prep
+
+    pages_path, _, routed_root = synth
+    out = run_training_prep(
+        pages_path, routed_dir=str(routed_root / "a"), approx_rows=600,
+        languages=("en",), min_tokens=5, min_quality=0.1,
+    ).to_pandas()
+    assert len(out) > 50
+    assert (out.lang == "en").all()
+    assert (out.n_tokens >= 5).all()
+    assert (out.quality >= 0.1).all()
+    assert not out.url.duplicated().any()
+    assert not out.text.duplicated().any()  # exact content dedup applied
