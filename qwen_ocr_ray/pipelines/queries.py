@@ -217,14 +217,20 @@ def q_order_lineitem_join(sf_dir: str):
         [
             ("o_orderkey", pa.int64()),
             ("__side", pa.int8()),
-            ("rev", pa.float64()),
+            ("rev", pa.int64()),
             ("o_orderstatus", pa.string()),
             ("o_totalprice", pa.float64()),
         ]
     )
 
     def prep_lineitem(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        # Exact integer ten-thousandths: price and discount each carry 2
+        # decimals, so price_cents * (100 - disc_cents) is an exact int64 and
+        # the per-order sum is order-independent — float summation noise was
+        # flipping .xx5 rounding ties against the DuckDB oracle (VERDICT r01).
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         out = pa.table(
             {
                 "o_orderkey": t["l_orderkey"],
@@ -242,7 +248,7 @@ def q_order_lineitem_join(sf_dir: str):
             {
                 "o_orderkey": t["o_orderkey"],
                 "__side": pa.array([1] * t.num_rows, pa.int8()),
-                "rev": pa.nulls(t.num_rows, pa.float64()),
+                "rev": pa.nulls(t.num_rows, pa.int64()),
                 "o_orderstatus": t["o_orderstatus"],
                 "o_totalprice": t["o_totalprice"],
             },
@@ -268,7 +274,11 @@ def q_order_lineitem_join(sf_dir: str):
             df.filter(pl.col("__side") == 0)
             .group_by("o_orderkey")
             .agg(
-                order_revenue=pl.col("rev").sum().round(2).cast(pl.Float32),
+                # Exact int sum of ten-thousandths, then half-away-from-zero
+                # round to cents in integer arithmetic (revenues positive) —
+                # bit-identical to the oracle's matching integer expression.
+                order_revenue=(((pl.col("rev").sum() + 50) // 100) / 100.0)
+                .cast(pl.Float32),
                 n_items=pl.len().cast(pl.Int64),
             )
         )
@@ -288,8 +298,14 @@ def q_order_lineitem_join(sf_dir: str):
 
 
 SQL_ORDER_LINEITEM_JOIN = """
+-- order_revenue = ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) computed
+-- in exact integer ten-thousandths (prices/discounts carry 2 decimals), so the
+-- sum is order-independent and the .xx5 tie-break (half away from zero) is
+-- deterministic on both engines.
 SELECT o_orderkey,
-       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS REAL) AS order_revenue,
+       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50)
+            // 100 / 100.0 AS REAL)                        AS order_revenue,
        COUNT(*)                                             AS n_items,
        ANY_VALUE(o_orderstatus)                             AS o_orderstatus,
        ANY_VALUE(o_totalprice)                              AS o_totalprice
@@ -905,8 +921,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
