@@ -44,9 +44,11 @@ def run_figures(
     return (
         pages_rows.map_batches(
             lambda t, c=cfg: explode_pages(t, c), batch_format="pyarrow",
+            batch_size=cfg.binary_batch_size,
         )
         .map_batches(
             lambda t, c=cfg: optimize_pages_batch(t, c), batch_format="pyarrow",
+            batch_size=cfg.binary_batch_size,
         )
         .map_batches(
             ExtractFigures,

@@ -1010,14 +1010,18 @@ ORACLE.update(
 
 def q_embedding_dedup_filter(sf_dir: str):
     """Embedding near-dup FILTER: corpus minus larger members of >=0.4-cosine
-    pairs (one representative per near-dup cluster; rows-only)."""
-    from qwen_ocr_ray.stages.similarity import cosine_pairs, near_dup_representatives
+    pairs (one representative per near-dup cluster; rows-only).
 
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    Composed entirely from scale-safe parts (VERDICT r01 #6): hyperplane-LSH
+    candidate pairs (never broadcasts the corpus) + a distributed LEFT ANTI
+    join against the pair edges — nothing driver-collected. The exact
+    ``cosine_pairs`` path remains only behind the SQL-checked
+    ``embedding_pairs`` query."""
+    from qwen_ocr_ray.stages.similarity import lsh_near_pairs, near_dup_representatives
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = cosine_pairs(ds, full, 0.4)
-    kept = near_dup_representatives(ds, pairs)
+    pairs = lsh_near_pairs(ds, 0.4)
+    kept = near_dup_representatives(ds, pairs, strategy="join")
     return kept.select_columns(["vec_id"])
 
 

@@ -11,8 +11,10 @@ checkpoint with per-partition lineage + metrics"). Layout:
 A shard = a fixed slice of the routed checkpoint's part files for one kind
 (so lineage is a concrete file list). The driver loop skips any shard whose
 manifest says done — rerunning after a kill redoes only unfinished shards.
-Shard outputs are written to a temp dir and renamed into place, manifest
-last, so a crash can never leave a "done" manifest over partial data.
+Shard outputs are staged under out_dir/_tmp (outside shards/) and renamed
+into place, manifest last, so a crash can never leave a "done" manifest over
+partial data — and the read path additionally trusts only shards whose
+manifest says done.
 
 Manifest fields: shard, kind, input_files (lineage), rows_out, bytes_out,
 wall_s, status, error — the distributed analogue of ProcessingJobState
@@ -121,7 +123,10 @@ def run_sharded_extraction(
             raise RuntimeError(f"simulated crash before shard {name}")
 
         final_dir = os.path.join(shards_dir, f"shard={name}")
-        tmp_dir = final_dir + ".tmp"
+        # stage OUTSIDE shards/ so a crash mid-write can never leave partial
+        # parquet where read_extraction_output looks
+        tmp_dir = os.path.join(out_dir, "_tmp", f"shard={name}")
+        os.makedirs(os.path.dirname(tmp_dir), exist_ok=True)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(final_dir, ignore_errors=True)  # partial from a crash
         t0 = time.perf_counter()
@@ -166,4 +171,22 @@ def run_sharded_extraction(
 
 
 def read_extraction_output(out_dir: str) -> "ray.data.Dataset":
-    return sized_read_parquet(os.path.join(out_dir, "shards"))
+    """Read only shards whose manifest says done — never partial data (the
+    manifest-last invariant holds at the READ path too)."""
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    done_dirs = []
+    for f in sorted(os.listdir(manifest_dir)) if os.path.isdir(manifest_dir) else []:
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, f)) as fh:
+            if json.load(fh).get("status") == "done":
+                name = f[: -len(".json")]
+                d = os.path.join(out_dir, "shards", f"shard={name}")
+                done_dirs.extend(
+                    os.path.join(d, p)
+                    for p in sorted(os.listdir(d))
+                    if p.endswith(".parquet")
+                )
+    if not done_dirs:
+        raise FileNotFoundError(f"no completed shards under {out_dir}")
+    return sized_read_parquet(done_dirs)

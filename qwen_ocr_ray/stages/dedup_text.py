@@ -81,22 +81,34 @@ def dedup_exact_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
             lambda t: t.filter(pc.greater(t["n"], 1)).drop_columns(["n"]),
             batch_format="pyarrow",
         ).to_pandas()
-        winners = (
-            dict(zip(contested.fingerprint, contested.win_id))
-            if len(contested)
-            else {}
-        )
-        ref = ray.put(winners)
+        if len(contested):
+            # Broadcast as Arrow arrays for vectorized pc.is_in filtering —
+            # this is the full-payload pass, no per-row Python membership.
+            ref = ray.put((
+                pa.array(contested.fingerprint, pa.string()),
+                pa.array(
+                    [f"{f}|{i}" for f, i in
+                     zip(contested.fingerprint, contested.win_id)],
+                    pa.string(),
+                ),
+            ))
+        else:
+            ref = None
 
         def keep(t: pa.Table) -> pa.Table:
-            win: dict = ray.get(ref)
             t = fingerprint_batch(t, text_col)
-            if not win:
+            if ref is None:
                 return t
-            fps = t["fingerprint"].to_pylist()
-            ids = t[id_col].to_pylist()
-            mask = [(f not in win) or (i == win[f]) for f, i in zip(fps, ids)]
-            return t.filter(pa.array(mask, pa.bool_()))
+            fps_a, keys_a = ray.get(ref)
+            is_cont = pc.is_in(t["fingerprint"], value_set=fps_a)
+            if not pc.any(is_cont).as_py():
+                return t
+            key = pc.binary_join_element_wise(
+                t["fingerprint"], pc.cast(t[id_col], pa.string()), "|"
+            )
+            return t.filter(
+                pc.or_(pc.invert(is_cont), pc.is_in(key, value_set=keys_a))
+            )
 
         return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -143,12 +155,71 @@ PAIRS_SCHEMA = pa.schema(
 )
 
 
-def candidate_pairs_in_bucket(t: pa.Table, threshold: float) -> pa.Table:
+def _verify_band_group(
+    ids: list, sigs: list, lo: int, hi: int, threshold: float,
+    out: set, est: dict, max_group: int,
+) -> None:
+    """Verify one (band_id, band_key) group with a hot-band guard.
+
+    A degenerate key (e.g. 10k byte-identical documents landing in one band
+    bucket) would make naive pairwise verification O(g^2) in a single task.
+    Guard: (1) collapse identical signatures first — members sharing a
+    signature get STAR edges to the group's min id (est 1.0, O(g); downstream
+    connected-components recovers the clique); (2) pairwise-verify only the
+    DISTINCT signatures, and if those still exceed ``max_group``, split them
+    into secondary-hash chunks verified independently (cross-chunk pairs are
+    usually recovered via the document's other bands)."""
+    import zlib
+
+    by_sig: dict[bytes, list[int]] = {}
+    for k in range(lo, hi):
+        by_sig.setdefault(sigs[k], []).append(ids[k])
+    reps: list[tuple[bytes, int]] = []
+    for sig_bytes, members in by_sig.items():
+        uniq = sorted(set(members))
+        rep = uniq[0]
+        reps.append((sig_bytes, rep))
+        for m in uniq[1:]:
+            pair = (rep, m)
+            if pair not in out:
+                out.add(pair)
+                est[pair] = 1.0
+    if len(reps) < 2:
+        return
+    n_chunks = -(-len(reps) // max_group)  # ceil
+    chunks: list[list[tuple[bytes, int]]]
+    if n_chunks == 1:
+        chunks = [reps]
+    else:
+        chunks = [[] for _ in range(n_chunks)]
+        for sig_bytes, rep in reps:
+            chunks[zlib.crc32(sig_bytes) % n_chunks].append((sig_bytes, rep))
+    for chunk in chunks:
+        for x in range(len(chunk)):
+            sx = np.frombuffer(chunk[x][0], dtype=np.uint64)
+            for y in range(x + 1, len(chunk)):
+                a, b = chunk[x][1], chunk[y][1]
+                if a == b:
+                    continue
+                pair = (min(a, b), max(a, b))
+                if pair in out:
+                    continue
+                sy = np.frombuffer(chunk[y][0], dtype=np.uint64)
+                e = estimate_jaccard(sx, sy)
+                if e >= threshold:
+                    out.add(pair)
+                    est[pair] = e
+
+
+def candidate_pairs_in_bucket(
+    t: pa.Table, threshold: float, *, max_group: int = 256
+) -> pa.Table:
     """One (band_id-range) bucket of exploded rows -> verified near-dup pairs.
 
     Groups rows by (band_id, band_key); every pair sharing a band bucket is a
     candidate; verification = signature-agreement Jaccard estimate (the
-    signatures travel with the rows, so no second fetch of the corpus)."""
+    signatures travel with the rows, so no second fetch of the corpus).
+    Oversized groups go through the hot-band guard (_verify_band_group)."""
     if t.num_rows == 0:
         return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
     t = t.combine_chunks()
@@ -168,21 +239,7 @@ def candidate_pairs_in_bucket(t: pa.Table, threshold: float) -> pa.Table:
         while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
             j += 1
         if j - i > 1:
-            group = list(range(i, j))
-            for x in range(len(group)):
-                sx = np.frombuffer(sigs[group[x]], dtype=np.uint64)
-                for y in range(x + 1, len(group)):
-                    a, b = ids[group[x]], ids[group[y]]
-                    if a == b:
-                        continue
-                    pair = (min(a, b), max(a, b))
-                    if pair in out:
-                        continue
-                    sy = np.frombuffer(sigs[group[y]], dtype=np.uint64)
-                    e = estimate_jaccard(sx, sy)
-                    if e >= threshold:
-                        out.add(pair)
-                        est[pair] = e
+            _verify_band_group(ids, sigs, i, j, threshold, out, est, max_group)
         i = j
     pairs = sorted(out)
     return pa.table(

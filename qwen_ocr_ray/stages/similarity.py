@@ -250,24 +250,99 @@ def ivf_topk(
     )
 
 
-def near_dup_representatives(ds, pairs_ds, *, id_col: str = "vec_id"):
+def near_dup_representatives(ds, pairs_ds, *, id_col: str = "vec_id",
+                             strategy: str = "broadcast",
+                             num_partitions: int = 32):
     """Near-dup FILTER: keep one representative per duplicate pair/cluster.
 
     Greedy deterministic rule: any id that appears as the LARGER member of a
     near-dup pair is dropped (transitively this keeps each cluster's minimum
     id when pairs form chains through their minima; for the sparse near-dup
-    graphs of deduplication thresholds this equals min-per-cluster). The
-    dropped-id set is duplicate-fraction-sized and broadcast."""
+    graphs of deduplication thresholds this equals min-per-cluster).
+
+    ``broadcast`` (default): the dropped-id set is duplicate-fraction-sized —
+    collect once, broadcast, filter vectorized with pc.is_in.
+
+    ``join``: fully distributed — a native hash-partitioned LEFT ANTI join
+    against the pair edges' b-side; nothing is collected on the driver. Use
+    when the duplicate fraction is too large to broadcast."""
+    def b_col(t: pa.Table) -> str:
+        return "vec_b" if "vec_b" in t.column_names else "doc_b"
+
+    if strategy == "join":
+        drops = pairs_ds.map_batches(
+            lambda t: pa.table({id_col: pc.cast(t[b_col(t)], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        # Acero (the join kernel) rejects list-typed non-key columns; pack
+        # float-list payloads (embeddings) to binary for the join, unpack
+        # after. Value types are captured from the schema on the driver.
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None)
+        list_cols: dict[str, pa.DataType] = {}
+        if base is not None:
+            for f in base:
+                if pa.types.is_list(f.type) and pa.types.is_floating(
+                    f.type.value_type
+                ):
+                    list_cols[f.name] = f.type.value_type
+
+        def pack(t: pa.Table) -> pa.Table:
+            for name in list_cols:
+                chunks = (
+                    t[name].chunks
+                    if isinstance(t[name], pa.ChunkedArray)
+                    else [t[name]]
+                )
+                packed: list[bytes] = []
+                for ch in chunks:
+                    # flatten() concatenates the lists; rebuild row boundaries
+                    # from offset DIFFS (offsets may not be zero-based on a
+                    # sliced chunk)
+                    flat = ch.flatten().to_numpy(zero_copy_only=False)
+                    pos = np.concatenate(
+                        [[0], np.cumsum(np.diff(ch.offsets.to_numpy()))]
+                    )
+                    packed.extend(
+                        flat[pos[i]:pos[i + 1]].tobytes()
+                        for i in range(len(ch))
+                    )
+                t = t.set_column(
+                    t.column_names.index(name), name, pa.array(packed, pa.binary())
+                )
+            return t
+
+        def unpack(t: pa.Table) -> pa.Table:
+            for name, vt in list_cols.items():
+                dt = np.dtype(vt.to_pandas_dtype())
+                lists = [
+                    np.frombuffer(b, dtype=dt).tolist()
+                    for b in t[name].to_pylist()
+                ]
+                t = t.set_column(
+                    t.column_names.index(name), name,
+                    pa.array(lists, pa.list_(vt)),
+                )
+            return t
+
+        joined = ds.map_batches(pack, batch_format="pyarrow").join(
+            drops, "left_anti", num_partitions=num_partitions, on=(id_col,)
+        )
+        if not list_cols:
+            return joined
+        return joined.map_batches(unpack, batch_format="pyarrow")
+
     dropped = set()
     for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        dropped.update(batch["vec_b" if "vec_b" in batch.column_names else "doc_b"].to_pylist())
-    ref = ray.put(dropped)
+        dropped.update(batch[b_col(batch)].to_pylist())
+    if not dropped:
+        return ds
+    ref = ray.put(pa.array(sorted(dropped)))
 
     def keep(t: pa.Table) -> pa.Table:
-        drop: set = ray.get(ref)
-        if not drop:
-            return t
-        ids = t[id_col].to_pylist()
-        return t.filter(pa.array([i not in drop for i in ids], pa.bool_()))
+        drop_arr = ray.get(ref)
+        return t.filter(
+            pc.invert(pc.is_in(t[id_col], value_set=drop_arr))
+        )
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -71,16 +71,20 @@ def add_salted_partition(ds, hot_domains: dict[str, int], *, url_col: str = "url
     def fn(t: pa.Table) -> pa.Table:
         hot: dict[str, int] = ray.get(hot_ref)
         t = add_domain_column(t, url_col)
-        domains = t["domain"].to_pylist()
+        dom = t["domain"]
+        # Vectorized salt assignment: hot is provably small (<= 1/hot_fraction
+        # entries), so one pc.if_else pass per hot domain beats a per-row
+        # Python dict lookup on the full stream.
+        salt = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
         if hot:
-            salts = hash_bucket_ids(t[url_col], 1 << 16).to_pylist()
-            parts = [
-                f"{d}#{s % hot[d]}" if d in hot else f"{d}#0"
-                for d, s in zip(domains, salts)
-            ]
-        else:
-            parts = [f"{d}#0" for d in domains]
-        return t.append_column("part", pa.array(parts, pa.string()))
+            raw = pc.cast(hash_bucket_ids(t[url_col], 1 << 16), pa.int64())
+            for d, m in hot.items():
+                mod = pc.subtract(raw, pc.multiply(pc.divide(raw, m), m))
+                salt = pc.if_else(pc.equal(dom, d), mod, salt)
+        parts = pc.binary_join_element_wise(
+            dom, pc.cast(salt, pa.string()), "#"
+        )
+        return t.append_column("part", parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

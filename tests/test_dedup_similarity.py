@@ -118,10 +118,18 @@ class TestPlantedNearDups:
 
         pairs = minhash_lsh_pairs(planted_ds, threshold=0.5).to_pandas()
         found = set(zip(pairs.doc_a, pairs.doc_b))
-        assert (0, 100) in found       # exact dup
+        assert (0, 100) in found       # exact dup (star edge to the min id)
         assert (1, 102) in found
         assert (0, 101) in found       # 1-word-change near dup
-        assert (100, 101) in found
+        # identical-signature members emit STAR edges to the group minimum
+        # (hot-band guard), so (100, 101) surfaces as a cluster, not a pair
+        from qwen_ocr_ray.stages.clusters import connected_components
+
+        comp = connected_components(
+            minhash_lsh_pairs(planted_ds, threshold=0.5)
+        ).to_pandas()
+        labels = dict(zip(comp.node, comp.component))
+        assert labels[100] == labels[101] == labels[0]
         # no random-pair false positives at this threshold
         assert all(a >= 100 or b >= 100 or a == b for a, b in found), found
 
@@ -133,6 +141,68 @@ class TestPlantedNearDups:
         assert {(0, 100), (1, 102), (0, 101)} <= found
         exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
         assert float(exact.est_jaccard.iloc[0]) == 1.0
+
+    def test_hot_band_guard_degenerate_group(self):
+        """10k identical docs in one band bucket must finish in O(g) star
+        edges, not O(g^2) pairwise verification (VERDICT r01 #10)."""
+        import time
+
+        from qwen_ocr_ray.stages.dedup_text import (
+            candidate_pairs_in_bucket,
+            minhash_signature,
+            shingle_hashes,
+            NUM_PERM,
+        )
+
+        g = 10_000
+        sig = minhash_signature(shingle_hashes("the same document text " * 20), NUM_PERM)
+        sig_bytes = sig.tobytes()
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * g, pa.int32()),
+                "band_key": pa.array([42] * g, pa.int64()),
+                "doc_id": pa.array(list(range(g)), pa.int64()),
+                "signature": pa.array([sig_bytes] * g, pa.binary()),
+            }
+        )
+        t0 = time.perf_counter()
+        pairs = candidate_pairs_in_bucket(t, 0.5).to_pandas()
+        elapsed = time.perf_counter() - t0
+        # star edges from the min id; a naive O(g^2) pass would be ~50M
+        # estimates and take minutes — the guard finishes in well under 5 s
+        assert len(pairs) == g - 1
+        assert (pairs.doc_a == 0).all()
+        assert (pairs.est_jaccard == 1.0).all()
+        assert elapsed < 5.0
+
+    def test_hot_band_guard_chunk_split_keeps_recall_within_chunks(self):
+        """Distinct-signature groups above max_group split by secondary hash;
+        identical-signature members still pair across the split."""
+        from qwen_ocr_ray.stages.dedup_text import (
+            candidate_pairs_in_bucket,
+            minhash_signature,
+            shingle_hashes,
+            NUM_PERM,
+        )
+
+        sigs = [
+            minhash_signature(shingle_hashes(f"doc number {i} " * 30), NUM_PERM).tobytes()
+            for i in range(20)
+        ]
+        # two exact dups of sig 0 planted among 20 distinct signatures
+        all_sigs = sigs + [sigs[0], sigs[0]]
+        ids = list(range(20)) + [100, 101]
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * len(ids), pa.int32()),
+                "band_key": pa.array([7] * len(ids), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "signature": pa.array(all_sigs, pa.binary()),
+            }
+        )
+        pairs = candidate_pairs_in_bucket(t, 0.9, max_group=8).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (0, 100) in found and (0, 101) in found
 
     def test_simhash_near_pairs_finds_exact_dups(self, planted_ds):
         from qwen_ocr_ray.stages.dedup_text import simhash_near_pairs
@@ -200,6 +270,25 @@ class TestNearDupFilter:
         assert {3, 7} <= set(kept.vec_id)
         assert len(kept) == 30
 
+    def test_lsh_anti_join_filter_matches_exact_path(self, planted_vectors):
+        """The scale composition (LSH pairs + distributed LEFT ANTI join)
+        keeps the same rows as exact cosine_pairs + broadcast filter on the
+        planted fixture — the recall assertion for q_embedding_dedup_filter."""
+        from qwen_ocr_ray.stages.similarity import (
+            cosine_pairs,
+            lsh_near_pairs,
+            near_dup_representatives,
+        )
+
+        ds, full = planted_vectors
+        exact = near_dup_representatives(
+            ds, cosine_pairs(ds, full, 0.95)
+        ).to_pandas()
+        approx = near_dup_representatives(
+            ds, lsh_near_pairs(ds, 0.95), strategy="join", num_partitions=4
+        ).to_pandas()
+        assert sorted(approx.vec_id) == sorted(exact.vec_id)
+
 
 class TestBucketedHashJoin:
     def test_generic_join(self, ray_session):
@@ -251,6 +340,38 @@ class TestConnectedComponents:
 
         reps = cluster_representatives(ds).to_pandas()
         assert sorted(reps.representative) == [1, 10, 20]
+
+    def test_join_strategy_parity_and_long_chain(self, ray_session):
+        """The distributed join path produces identical components, and
+        chain-shaped components longer than the old 8-round cap converge
+        (ADVICE r01: no silent unconverged return)."""
+        import pyarrow as pa
+        import ray.data
+
+        from qwen_ocr_ray.stages.clusters import connected_components
+
+        # one chain of 30 edges (diameter 30) plus a separate pair
+        n = 30
+        pairs = pa.table(
+            {
+                "doc_a": pa.array(list(range(n)) + [100], pa.int64()),
+                "doc_b": pa.array(list(range(1, n + 1)) + [101], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(pairs)
+        by_strategy = {}
+        for strat in ("broadcast", "join"):
+            comp = (
+                connected_components(ds, strategy=strat, num_partitions=4)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            by_strategy[strat] = comp
+            got = dict(zip(comp.node, comp.component))
+            assert all(got[i] == 0 for i in range(n + 1)), strat
+            assert got[100] == got[101] == 100, strat
+        assert by_strategy["broadcast"].equals(by_strategy["join"])
 
     def test_on_planted_text_pairs(self, planted_ds):
         from qwen_ocr_ray.stages.clusters import connected_components
