@@ -52,7 +52,16 @@ def oracle_sql() -> dict[str, str]:
     nation customer supplier part orders lineitem events documents
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
+
+    Some oracles read the deterministic synthetic caches (pages golden,
+    media sidecars) via read_parquet('<path>'); materialize them for the
+    driver's sf0.01 gate before handing out the SQL, in case the oracle
+    runs before the matching query.
     """
     from qwen_ocr_ray.pipelines.queries import ORACLE
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
 
+    ensure_pages_dataset("/root/testdata/sf0.01")
+    ensure_media_dataset("/root/testdata/sf0.01")
     return dict(ORACLE)

@@ -58,6 +58,43 @@ DOCUMENT_BREADCRUMB_HEADER = "### DOCUMENT LOCATION BREADCRUMB\n"
 DEFAULT_CONFIG = EngineConfig()
 
 
+DEFAULT_API_BASE_URL = "https://api.synthetic.new/v1/"
+DEFAULT_MODEL_NAME = "hf:Qwen/Qwen3-VL-235B-A22B-Instruct"
+
+
+def api_settings(
+    *,
+    base_url: str | None = None,
+    model: str | None = None,
+    api_key: str | None = None,
+    require_key: bool = True,
+) -> dict[str, str]:
+    """Live-backend connection settings with env-var overrides (U2).
+
+    Precedence: explicit argument > environment variable > default —
+    mirroring the reference's env-read initialization
+    (``/root/reference/src/config.py:30-41``), including the hard failure
+    when no API key is available (``:37-41``). Resolved wherever the
+    backend is constructed; on a multi-node cluster pass explicit values
+    from the driver via ``fn_constructor_kwargs`` (worker env is not
+    guaranteed to carry the driver's variables).
+    """
+    import os
+
+    resolved = {
+        "base_url": base_url
+        or os.environ.get("OCR_API_BASE_URL", DEFAULT_API_BASE_URL),
+        "model": model or os.environ.get("OCR_MODEL_NAME", DEFAULT_MODEL_NAME),
+        "api_key": api_key or os.environ.get("OCR_API_KEY", ""),
+    }
+    if require_key and not resolved["api_key"]:
+        raise ValueError(
+            "OCR_API_KEY environment variable is not set. "
+            "Please set it with: export OCR_API_KEY='your-api-key'"
+        )
+    return resolved
+
+
 def save_json(cfg: EngineConfig, path: str) -> None:
     """Persist config as JSON (reference: Config.save, src/config.py:169-180).
 

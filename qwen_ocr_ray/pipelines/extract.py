@@ -34,7 +34,12 @@ import pyarrow.compute as pc
 import ray.data
 
 from qwen_ocr_ray.config import DEFAULT_CONFIG, EngineConfig
-from qwen_ocr_ray.stages.extract_html import OUT_SCHEMA, extract_html_batch, passthrough_batch
+from qwen_ocr_ray.stages.extract_html import (
+    OUT_SCHEMA,
+    extract_html_batch,
+    extract_pdf_batch,
+    passthrough_batch,
+)
 from qwen_ocr_ray.stages.inference import TranscribePages
 from qwen_ocr_ray.stages.pages_branch import explode_pages, fold_documents, optimize_pages_batch
 from qwen_ocr_ray.stages.route import add_kind_column
@@ -42,7 +47,9 @@ from qwen_ocr_ray.stages.route import add_kind_column
 PASSTHROUGH_ERRORS = {
     "empty": "empty payload",
     "invalid": "invalid utf-8 payload",
-    "pdf": "NotImplemented: PDF rasterization is stubbed in this sandbox (no poppler)",
+    # pdf is no longer a passthrough: text-bearing PDFs extract their text
+    # layer (stages/extract_html.py extract_pdf_batch); image-only PDFs get
+    # a needs-rasterization error row from that stage.
 }
 
 
@@ -393,16 +400,20 @@ def _inline_branches(
         parts = []
         html_part = t.filter(pc.equal(t["kind"], "html"))
         if html_part.num_rows:
-            parts.append(extract_html_batch(html_part))
-        other = t.filter(pc.not_equal(t["kind"], "html"))
-        if other.num_rows:
-            parts.append(passthrough_batch(other, PASSTHROUGH_ERRORS))
-        out = (
-            pa.concat_tables(parts)
-            if parts
-            else pa.table({n: [] for n in OUT_SCHEMA.names}, schema=OUT_SCHEMA)
+            parts.append(_pad_doc_schema(extract_html_batch(html_part)))
+        pdf_part = t.filter(pc.equal(t["kind"], "pdf"))
+        if pdf_part.num_rows:
+            parts.append(extract_pdf_batch(pdf_part))
+        other = t.filter(
+            pc.invert(pc.is_in(t["kind"], value_set=pa.array(["html", "pdf"])))
         )
-        return _pad_doc_schema(out)
+        if other.num_rows:
+            parts.append(_pad_doc_schema(passthrough_batch(other, PASSTHROUGH_ERRORS)))
+        if not parts:
+            return _pad_doc_schema(
+                pa.table({n: [] for n in OUT_SCHEMA.names}, schema=OUT_SCHEMA)
+            )
+        return pa.concat_tables(parts)
 
     nonpages = load_pages(pages_path).map_batches(
         route_nonpages, batch_format="pyarrow", batch_size=cfg.binary_batch_size
@@ -474,7 +485,16 @@ def run_extraction(
             ).map_batches(_pad_doc_schema, batch_format="pyarrow")
         )
 
-    for kind in ("empty", "invalid", "pdf"):
+    pdf_rows = _read_kind(routed_dir, "pdf")
+    if pdf_rows is not None:
+        branches.append(
+            pdf_rows.map_batches(
+                extract_pdf_batch, batch_format="pyarrow",
+                batch_size=cfg.binary_batch_size,
+            )
+        )
+
+    for kind in ("empty", "invalid"):
         rows = _read_kind(routed_dir, kind)
         if rows is not None:
             branches.append(

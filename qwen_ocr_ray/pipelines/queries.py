@@ -1054,3 +1054,181 @@ def q_training_prep(sf_dir: str):
 
 
 QUERIES["training_prep"] = q_training_prep
+
+
+# --- driver-visible oracles over the synthetic caches --------------------------
+#
+# The driver's DuckDB session pre-registers only the testdata tables, but
+# oracle SQL may read any parquet path — so queries over the deterministic
+# synthetic caches (pages/golden, media + sidecars) get oracles via
+# read_parquet('<cache path>'). The driver runs the correctness gate at
+# sf0.01; __ray_entry__.oracle_sql() ensures those caches exist first.
+# tests/test_queries_conformance.py rewrites the paths for its own sf.
+
+def _sf01_tag() -> str:
+    from qwen_ocr_ray.sources.synth_pages import GEN_VERSION
+
+    return f"sf0.01_v{GEN_VERSION}"
+
+
+_PAGES01 = f"/tmp/qor_pages/{_sf01_tag()}"
+_MEDIA01 = f"/tmp/qor_media/{_sf01_tag()}"
+
+
+def q_extract_text(sf_dir: str):
+    """Flagship extraction projected to the golden-contract columns. The
+    oracle is the independently generated golden table — this makes the
+    byte-identical-text-per-url invariant (north_rule) a driver-visible
+    hash check, not just a pytest assertion."""
+    from qwen_ocr_ray.pipelines.extract import run_extraction
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    n = pq.read_metadata(pages_path).num_rows
+    ds = run_extraction(pages_path, approx_rows=n)
+    return ds.select_columns(["url", "kind", "text"])
+
+
+SQL_EXTRACT_TEXT = f"""
+SELECT url, kind, text FROM read_parquet('{_PAGES01}/golden.parquet')
+"""
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (regex word/number/punct split) — the
+    cross-engine check runs the SAME pattern through DuckDB's RE2."""
+    from qwen_ocr_ray.functions.text_stats import bpe_ish_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bpe_tokens": pa.array(
+                    [bpe_ish_token_count(s) for s in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(
+           text, '[A-Za-z]+(?:''[A-Za-z]+)?|\d+|[^\sA-Za-z\d]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_domain_histogram(sf_dir: str):
+    """Rows per url domain over the synthetic pages table — checks the
+    vectorized Arrow domain extraction against DuckDB's regexp."""
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+    from qwen_ocr_ray.stages.agg import grouped_sums
+    from qwen_ocr_ray.stages.skew import add_domain_column
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    ds = sized_read_parquet(pages_path, columns=["url"])
+    return grouped_sums(
+        ds.map_batches(
+            lambda t: add_domain_column(t).select(["domain"]).append_column(
+                "ones", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["domain"],
+        sum_cols={"ones": "n_rows"},
+    )
+
+
+SQL_DOMAIN_HISTOGRAM = f"""
+SELECT regexp_replace(regexp_replace(url, '^[a-z]+://', ''), '/.*$', '') AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM read_parquet('{_PAGES01}/pages.parquet')
+GROUP BY 1
+"""
+
+
+SQL_MEDIA_AUDIO_FEATURES = f"""
+WITH s AS (
+  SELECT media_id, CAST(sample AS DOUBLE) AS v,
+         LAG(sample) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+  FROM read_parquet('{_MEDIA01}/audio_samples.parquet')
+), m AS (
+  SELECT media_id, sample_rate FROM read_parquet('{_MEDIA01}/media.parquet')
+  WHERE mime = 'audio/x-raw-pcm16'
+)
+SELECT s.media_id,
+       (COUNT(*) * 1000) // MAX(m.sample_rate)       AS duration_ms,
+       CAST(ROUND(SQRT(AVG(v * v)), 4) AS REAL)      AS rms,
+       CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                               AND ((v < 0) <> (prev < 0))
+                              THEN 1 END), 0) AS BIGINT) AS zero_crossings,
+       CAST(NULL AS VARCHAR)                          AS error
+FROM s JOIN m ON s.media_id = m.media_id
+GROUP BY s.media_id
+"""
+
+
+SQL_MEDIA_IMAGE_FEATURES = f"""
+SELECT media_id,
+       CAST(ROUND(mean_r, 4) AS REAL)       AS mean_r,
+       CAST(ROUND(mean_g, 4) AS REAL)       AS mean_g,
+       CAST(ROUND(mean_b, 4) AS REAL)       AS mean_b,
+       CAST(ROUND(brightness, 4) AS REAL)   AS brightness,
+       CAST(ROUND(edge_density, 4) AS REAL) AS edge_density,
+       error
+FROM read_parquet('{_MEDIA01}/image_expected.parquet')
+"""
+
+
+SQL_MEDIA_VIDEO_FRAMES = f"""
+SELECT media_id,
+       CAST(t.f AS INTEGER) AS frame_idx,
+       width, height,
+       'image/x-raw-rgb'    AS mime
+FROM (SELECT media_id, width, height, n_frames
+      FROM read_parquet('{_MEDIA01}/media.parquet')
+      WHERE mime = 'video/x-rawpages'),
+     UNNEST(generate_series(0, n_frames - 1, 4)) AS t(f)
+"""
+
+
+def _canon_media_audio(sf_dir: str):
+    return q_media_audio_features(sf_dir).map_batches(
+        lambda t: _canon_floats(t, ["rms"], 4), batch_format="pyarrow"
+    )
+
+
+def _canon_media_image(sf_dir: str):
+    return q_media_image_features(sf_dir).map_batches(
+        lambda t: _canon_floats(
+            t, ["mean_r", "mean_g", "mean_b", "brightness", "edge_density"], 4
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES.update(
+    {
+        "extract_text": q_extract_text,
+        "bpe_token_counts": q_bpe_token_counts,
+        "domain_histogram": q_domain_histogram,
+    }
+)
+QUERIES["media_audio_features"] = _canon_media_audio
+QUERIES["media_image_features"] = _canon_media_image
+ORACLE.update(
+    {
+        "extract_text": SQL_EXTRACT_TEXT,
+        "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+        "domain_histogram": SQL_DOMAIN_HISTOGRAM,
+        "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
+        "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
+        "media_video_frames": SQL_MEDIA_VIDEO_FRAMES,
+    }
+)

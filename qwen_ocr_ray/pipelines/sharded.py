@@ -38,7 +38,11 @@ from qwen_ocr_ray.pipelines.extract import (
     route_and_checkpoint,
     sized_read_parquet,
 )
-from qwen_ocr_ray.stages.extract_html import extract_html_batch, passthrough_batch
+from qwen_ocr_ray.stages.extract_html import (
+    extract_html_batch,
+    extract_pdf_batch,
+    passthrough_batch,
+)
 
 import pyarrow as pa
 
@@ -84,6 +88,11 @@ def _build_shard_dataset(shard: dict, cfg: EngineConfig, backend: str) -> "ray.d
         ).map_batches(_pad_doc_schema, batch_format="pyarrow")
     if kind == "pages":
         return build_pages_branch(ds, cfg, backend=backend)
+    if kind == "pdf":
+        return ds.map_batches(
+            extract_pdf_batch, batch_format="pyarrow",
+            batch_size=cfg.binary_batch_size,
+        )
     return ds.map_batches(
         lambda t: _pad_doc_schema(passthrough_batch(t, PASSTHROUGH_ERRORS)),
         batch_format="pyarrow",

@@ -102,18 +102,64 @@ def generate_media_table(doc_ids: list[int]) -> pa.Table:
     return pa.table(cols, schema=MEDIA_SCHEMA)
 
 
+def _write_oracle_sidecars(table: pa.Table, out_dir: str) -> None:
+    """Side tables that let a SQL oracle check the media feature pipelines.
+
+    ``audio_samples.parquet``: (media_id, idx, sample) — DuckDB recomputes
+    duration/RMS/zero-crossings from raw samples, fully independent of the
+    engine's binary-payload decode path.
+
+    ``image_expected.parquet``: ImageFeatures applied at generation time —
+    a golden for the DISTRIBUTED run (routing, batching, decode round-trip),
+    same role as the extraction golden table.
+    """
+    import numpy as np
+
+    pcm = table.filter(pa.compute.equal(table["mime"], RAW_PCM16))
+    mids, idxs, samples = [], [], []
+    for mid, payload in zip(pcm["media_id"].to_pylist(), pcm["payload"].to_pylist()):
+        w = np.frombuffer(payload, dtype="<i2")
+        mids.append(np.full(len(w), mid, dtype=np.int64))
+        idxs.append(np.arange(len(w), dtype=np.int64))
+        samples.append(w.astype(np.int32))
+    samples_tbl = pa.table(
+        {
+            "media_id": pa.array(np.concatenate(mids) if mids else [], pa.int64()),
+            "idx": pa.array(np.concatenate(idxs) if idxs else [], pa.int64()),
+            "sample": pa.array(np.concatenate(samples) if samples else [], pa.int32()),
+        }
+    )
+    tmp = os.path.join(out_dir, f"audio_samples.tmp.{os.getpid()}")
+    pq.write_table(samples_tbl, tmp, row_group_size=65536)
+    os.replace(tmp, os.path.join(out_dir, "audio_samples.parquet"))
+
+    from qwen_ocr_ray.stages.multimodal import ImageFeatures
+
+    imgs = table.filter(pa.compute.equal(table["mime"], RAW_RGB))
+    feats = ImageFeatures()(imgs)
+    tmp = os.path.join(out_dir, f"image_expected.tmp.{os.getpid()}")
+    pq.write_table(feats, tmp, row_group_size=1024)
+    os.replace(tmp, os.path.join(out_dir, "image_expected.parquet"))
+
+
 def ensure_media_dataset(sf_dir: str, cache_root: str = "/tmp/qor_media") -> str:
     from qwen_ocr_ray.sources.synth_pages import GEN_VERSION
 
     tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
     out_dir = os.path.join(cache_root, tag)
     path = os.path.join(out_dir, "media.parquet")
-    if os.path.exists(path):
+    sidecars = [os.path.join(out_dir, f) for f in
+                ("audio_samples.parquet", "image_expected.parquet")]
+    if os.path.exists(path) and all(os.path.exists(p) for p in sidecars):
         return path
     os.makedirs(out_dir, exist_ok=True)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-    table = generate_media_table(docs["doc_id"].to_pylist())
-    tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp, row_group_size=1024)
-    os.replace(tmp, path)
+    if os.path.exists(path):
+        table = pq.read_table(path)
+    else:
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        table = generate_media_table(docs["doc_id"].to_pylist())
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp, row_group_size=1024)
+        os.replace(tmp, path)
+    _write_oracle_sidecars(table, out_dir)
     return path

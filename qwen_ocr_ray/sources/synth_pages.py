@@ -8,11 +8,12 @@ doc_id — order-independent, no wall clock), together with a **golden table**
 per url. The golden is computed from the article *plan*, independently of the
 HTML parser, so extractor bugs cannot cancel out.
 
-Row mix (FIXTURES.md §1): ~90% HTML with boilerplate wrapping a planned
-article; ~8% RAWPAGES1 multi-page binary payloads (the PDF-branch analogue);
-~1% empty; ~1% invalid bytes. ~30% of rows land on one hot domain (skew), and
-~2% are exact-duplicate urls with a later warc_ts (dedup fodder; first fetch
-wins).
+Row mix (FIXTURES.md §1): ~86% HTML with boilerplate wrapping a planned
+article; ~4% text-bearing PDFs (Flate streams, Tj text ops — the reference's
+core input format); ~8% RAWPAGES1 multi-page binary payloads (the
+rasterized-page analogue); ~1% empty; ~1% invalid bytes. ~30% of rows land
+on one hot domain (skew), and ~2% are exact-duplicate urls with a later
+warc_ts (dedup fodder; first fetch wins).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from qwen_ocr_ray.sources.pagepack import pack_pages
 
 SEED = 42
 # bump when generator output changes: versions the /tmp cache directories
-GEN_VERSION = 2
+GEN_VERSION = 3
 BASE_TS = _dt.datetime(2025, 1, 1)
 HOT_DOMAIN = "hot.example.com"
 N_COLD_DOMAINS = 49
@@ -150,6 +151,28 @@ def _render_pagepack(doc_id: int) -> tuple[bytes, list[tuple[int, bytes]]]:
     return pack_pages(pages), plain
 
 
+# --- PDF payloads --------------------------------------------------------------
+
+def _render_pdf(doc_id: int, text: str) -> tuple[bytes, str]:
+    """A text-bearing PDF built from the document words, plus its expected
+    extracted text (computed from the line plan, independently of the PDF
+    parser, so extractor bugs cannot cancel out)."""
+    from qwen_ocr_ray.functions.pdf_text import build_simple_pdf, sanitize_pdf_text
+
+    words = _words(text) or ["empty"]
+    r = _mix(SEED, doc_id, 4)
+    per_line = 6 + r % 5
+    per_page = 8 + (r >> 8) % 8
+    lines = [
+        sanitize_pdf_text(" ".join(words[i : i + per_line]))
+        for i in range(0, len(words), per_line)
+    ]
+    pages = [lines[i : i + per_page] for i in range(0, len(lines), per_page)]
+    payload = build_simple_pdf(pages)
+    expected = "\n\n".join("\n".join(p) for p in pages)
+    return payload, expected
+
+
 # --- table assembly -----------------------------------------------------------
 
 def generate_pages_table(doc_table: pa.Table) -> tuple[pa.Table, pa.Table]:
@@ -181,11 +204,14 @@ def generate_pages_table(doc_table: pa.Table) -> tuple[pa.Table, pa.Table]:
         url = url_for(doc_id)
         warc_ts = BASE_TS + _dt.timedelta(seconds=(doc_id * 137) % 31_536_000)
         kind_roll = r % 100
-        if kind_roll < 90:
+        if kind_roll < 86:
             blocks = _plan_article(doc_id, text)
             payload = _render_html(blocks, doc_id, lang).encode()
             expected = _render_markdown(blocks)
             kind = "html"
+        elif kind_roll < 90:
+            payload, expected = _render_pdf(doc_id, text)
+            kind = "pdf"
         elif kind_roll < 98:
             payload, plain_pages = _render_pagepack(doc_id)
             expected, _ = stub_transcribe_document(plain_pages)

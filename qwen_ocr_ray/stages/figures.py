@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from qwen_ocr_ray.config import DEFAULT_CONFIG, EngineConfig
+from qwen_ocr_ray.functions.figure_schema import validate_figures
 from qwen_ocr_ray.functions.geometry import area_fraction, crop_figure
 from qwen_ocr_ray.stages.inference import OpenAICompatBackend, StubBackend
 
@@ -63,7 +64,9 @@ class ExtractFigures:
             batch["height"].to_pylist(),
         ):
             seq = 0
-            for fig in self.backend.detect_figures(pn, raw):
+            # structured-output schema gate (U5): malformed figure metadata
+            # is rejected before the area filter / crop see it
+            for fig in validate_figures(self.backend.detect_figures(pn, raw)):
                 bbox = (fig["x1"], fig["y1"], fig["x2"], fig["y2"])
                 frac = area_fraction(bbox)
                 if frac < cfg.min_area_fraction or frac > cfg.max_area_fraction:

@@ -59,7 +59,14 @@ class OpenAICompatBackend:
     the Ray plumbing above it is identical for the stub backend.
     """
 
-    def __init__(self, cfg: EngineConfig, base_url: str, api_key: str, model: str):
+    def __init__(self, cfg: EngineConfig, base_url: str | None = None,
+                 api_key: str | None = None, model: str | None = None):
+        from qwen_ocr_ray.config import api_settings
+
+        # env-var overrides (OCR_API_BASE_URL / OCR_MODEL_NAME / OCR_API_KEY)
+        # with the reference's precedence and missing-key failure (U2,
+        # src/config.py:30-41)
+        settings = api_settings(base_url=base_url, model=model, api_key=api_key)
         try:
             from openai import OpenAI
         except ImportError as e:
@@ -68,8 +75,8 @@ class OpenAICompatBackend:
                 "use StubBackend (deterministic) instead"
             ) from e
         self.cfg = cfg
-        self.model = model
-        self.client = OpenAI(base_url=base_url, api_key=api_key)
+        self.model = settings["model"]
+        self.client = OpenAI(base_url=settings["base_url"], api_key=settings["api_key"])
 
     def _retry(self, fn):
         cfg = self.cfg
@@ -143,7 +150,19 @@ class OpenAICompatBackend:
                 response_format={"type": "json_object"},
             )
             parsed = json.loads(resp.choices[0].message.content or "{}")
-            return parsed.get("images", [])
+            # Eager structured-output validation before anything reaches the
+            # crop stage (reference parses into ImageExtractionResponse at
+            # the call site, document_job.py:187-201); an unparseable
+            # response degrades to zero figures like the reference's
+            # missing-parsed fallback (document_job.py:196-201).
+            from pydantic import ValidationError
+
+            from qwen_ocr_ray.functions.figure_schema import validate_figures
+
+            try:
+                return validate_figures(parsed)
+            except ValidationError:
+                return []
 
         return self._retry(call)
 
@@ -222,13 +241,17 @@ class DetectFigures:
         self.backend = StubBackend() if backend == "stub" else OpenAICompatBackend(cfg, **backend_kwargs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.figure_schema import validate_figures
+
         cols: dict[str, list] = {n: [] for n in self.SCHEMA.names}
         for url, pn, raw in zip(
             batch["url"].to_pylist(),
             batch["page_num"].to_pylist(),
             batch["image"].to_pylist(),
         ):
-            for fig in self.backend.detect_figures(pn, raw):
+            # schema gate for EVERY backend (U5): malformed figures raise
+            # here, before the bbox filter/crop stages see them
+            for fig in validate_figures(self.backend.detect_figures(pn, raw)):
                 cols["url"].append(url)
                 cols["page_num"].append(fig["page_number"])
                 cols["fig_number"].append(fig["fig_number"])

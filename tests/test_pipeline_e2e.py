@@ -40,8 +40,8 @@ def test_byte_identical_per_url(synth, extracted):
     assert len(m) == len(golden) == len(extracted)
     mismatched = m[m.text != m.text_exp]
     assert mismatched.empty, mismatched[["url", "kind"]].head()
-    # every branch actually exercised
-    assert set(m.kind.unique()) >= {"html", "pages", "empty", "invalid"}
+    # every branch actually exercised (pdf = text-layer extraction branch)
+    assert set(m.kind.unique()) >= {"html", "pages", "pdf", "empty", "invalid"}
 
 
 def test_dedup_first_fetch_wins(synth, extracted):

@@ -33,11 +33,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def oracle_for(name: str, sf_dir: str) -> str:
+    """Oracle SQL with synthetic-cache paths rewritten from the driver's
+    sf0.01 to this test session's sf (caches are ensured on demand)."""
+    sql = ORACLE[name]
+    if "/tmp/qor_" not in sql:
+        return sql
+    from qwen_ocr_ray.pipelines.queries import _sf01_tag
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.sources.synth_pages import GEN_VERSION, ensure_pages_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
+    if "/tmp/qor_pages/" in sql:
+        ensure_pages_dataset(sf_dir)
+    if "/tmp/qor_media/" in sql:
+        ensure_media_dataset(sf_dir)
+    return sql.replace(_sf01_tag(), tag)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(name, ray_session, oracle_con, sf_dir):
     ray_result = QUERIES[name](sf_dir)
     got = normalize(ray_result.to_pandas())
-    exp = normalize(oracle_con.execute(ORACLE[name]).fetchdf())
+    exp = normalize(oracle_con.execute(oracle_for(name, sf_dir)).fetchdf())
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -156,6 +156,92 @@ class TestConfigJson:
         assert load_json(p) == cfg
 
 
+class TestEnvApiSettings:
+    """U2: OCR_* env overrides with reference precedence (src/config.py:30-41)."""
+
+    def test_precedence_and_defaults(self, monkeypatch):
+        from qwen_ocr_ray.config import (
+            DEFAULT_API_BASE_URL,
+            DEFAULT_MODEL_NAME,
+            api_settings,
+        )
+
+        monkeypatch.delenv("OCR_API_BASE_URL", raising=False)
+        monkeypatch.delenv("OCR_MODEL_NAME", raising=False)
+        monkeypatch.setenv("OCR_API_KEY", "env-key")
+        s = api_settings()
+        assert s == {
+            "base_url": DEFAULT_API_BASE_URL,
+            "model": DEFAULT_MODEL_NAME,
+            "api_key": "env-key",
+        }
+        monkeypatch.setenv("OCR_API_BASE_URL", "https://env.example/v1/")
+        monkeypatch.setenv("OCR_MODEL_NAME", "env-model")
+        s = api_settings()
+        assert s["base_url"] == "https://env.example/v1/"
+        assert s["model"] == "env-model"
+        # explicit argument beats environment
+        s = api_settings(base_url="https://arg.example/v1/", model="arg-model",
+                         api_key="arg-key")
+        assert s == {
+            "base_url": "https://arg.example/v1/",
+            "model": "arg-model",
+            "api_key": "arg-key",
+        }
+
+    def test_missing_key_hard_fails(self, monkeypatch):
+        import pytest as _pytest
+
+        from qwen_ocr_ray.config import api_settings
+
+        monkeypatch.delenv("OCR_API_KEY", raising=False)
+        with _pytest.raises(ValueError, match="OCR_API_KEY"):
+            api_settings()
+        assert api_settings(require_key=False)["api_key"] == ""
+
+
+class TestFigureSchema:
+    """U5: structured-output validation at the VLM boundary
+    (reference api_schemas.py:10-79 semantics)."""
+
+    def test_valid_both_shapes_normalize_flat(self):
+        from qwen_ocr_ray.functions.figure_schema import validate_figures
+
+        live_shape = {"images": [{"page_number": 3, "fig_number": 1,
+                                  "bbox": [100, 250, 600, 700],
+                                  "caption": "Figure 1", "element_type": "chart"}]}
+        stub_shape = [{"page_number": 3, "fig_number": 1,
+                       "x1": 100, "y1": 250, "x2": 600, "y2": 700,
+                       "caption": "Figure 1", "element_type": "chart"}]
+        a, b = validate_figures(live_shape), validate_figures(stub_shape)
+        assert a == b
+        assert a[0]["x2"] == 600 and "bbox" not in a[0]
+
+    def test_malformed_bbox_rejected(self):
+        import pytest as _pytest
+        from pydantic import ValidationError
+
+        from qwen_ocr_ray.functions.figure_schema import validate_figures
+
+        bad = [
+            {"page_number": 1, "fig_number": 1, "bbox": [600, 250, 100, 700]},  # x1>x2
+            {"page_number": 1, "fig_number": 1, "bbox": [0, 0, 2000, 500]},     # >1000
+            {"page_number": 1, "fig_number": 1, "bbox": [1, 2, 3]},             # not 4
+            {"page_number": 1, "fig_number": 1, "bbox": [0, 0, 10, 10],
+             "element_type": "meme"},                                           # enum
+            {"page_number": 0, "fig_number": 1, "bbox": [0, 0, 10, 10]},        # page>=1
+        ]
+        for fig in bad:
+            with _pytest.raises((ValidationError, ValueError)):
+                validate_figures([fig])
+
+    def test_empty_and_missing_images(self):
+        from qwen_ocr_ray.functions.figure_schema import validate_figures
+
+        assert validate_figures({"images": []}) == []
+        assert validate_figures({}) == []
+
+
 class TestIvf:
     def test_ivf_recovers_duplicate(self, ray_session):
         import numpy as np
