@@ -1,27 +1,31 @@
 """Flagship pipeline: CC-style pages parquet -> extracted markdown per url.
 
-Two phases (SURVEY.md §3 "Target lifecycle"), joined by a kind-partitioned
-Parquet checkpoint so each branch reads ONLY its own rows:
+Default (inline, stub backend) — ONE payload pass, no checkpoint:
 
-  Phase A (dedup + route, payload written ONCE):
     pass 1: column-pruned (url, warc_ts) scan -> winners of contested urls
-            (partial combiners; result is duplicate-fraction-sized, broadcast)
-    pass 2: read full rows -> drop losers -> route by payload kind
-            -> write_parquet(routed_dir, partition_cols=["kind"])  # checkpoint
-    (alternative: dedup_strategy="exchange" — disk-based bucket exchange +
-     per-bucket reduce — for same-instant dups / unbroadcastable dup rates)
+            (partial combiners + bucketed reduce; duplicate-fraction-sized,
+            broadcast via ray.put)
+    pass 2: read full rows -> drop losers -> route by payload kind -> per
+            batch, IN ONE FUSED TASK: html DOM-extract | pdf text-layer |
+            empty/invalid passthrough doc rows, AND pages explode ->
+            optimize -> transcribe page rows (raw page images never enter
+            the object store)
+    shuffle: one hash-bucket exchange on url over small text rows; page
+            runs fold into documents, doc rows pass through.
 
-  Phase B (no shuffle except the document fold):
-    kind=html    -> map_batches DOM-extract (stateless, hot)
-    kind=pages   -> explode -> optimize -> transcribe (stub tasks / live actors)
-                    -> per-document fold    # hash-bucket shuffle on url
-    other kinds  -> passthrough error rows
-    union of the three branches -> write / return
+Alternatives selected by ``checkpoint=`` / ``backend=`` / ``dedup_strategy=``:
+  * ``checkpoint="disk"`` — phase A writes a kind-partitioned Parquet
+    checkpoint (the resume + fan-out point; a lazy Dataset re-executes its
+    upstream per consumer) and phase-B branches read only their partition.
+  * live (actor) backends — inference must be an actor-pool stage, so the
+    inline path uses two consumers (non-pages fused; pages -> actor pool ->
+    fold) unioned.
+  * ``dedup_strategy="exchange"`` — disk-based bucket exchange + per-bucket
+    raw Ray reduce, for same-instant dups / unbroadcastable dup rates.
 
-A Ray Data Dataset is a lazy graph: consuming one upstream from several
-branches re-executes it per branch, so the checkpoint is both the resume
-point and the fan-out point. At 10^12 rows the routed checkpoint is one full
-write + pruned re-reads, and payload bytes are never shuffled.
+At 10^12 rows the default moves each payload byte exactly once (storage ->
+worker), shuffles only extracted text, and resumes via the sharded runner's
+per-shard manifests (pipelines/sharded.py).
 """
 
 from __future__ import annotations
@@ -101,31 +105,43 @@ def _contested_winners(pages_path: str) -> dict[str, object]:
 
     Column-pruned pass over (url, warc_ts) only — payload bytes never move.
     Per-batch partial (count, min ts) combiners collapse the shuffle to
-    |unique urls per batch| rows; the final filter keeps only duplicated
-    urls, so the collected dict is duplicate-fraction-sized (~2% of urls in
-    a CC-style crawl), safe to broadcast at bench scale. At 10^12 rows with
-    a high dup rate, use dedup_strategy="exchange" instead.
+    |unique urls per batch| rows; the final reduce is HASH-BUCKETED (shuffle
+    sorts a small int column, never the url strings — Ray's sort-based
+    ``groupby(url)`` cost 24 s vs ~3 s bucketed on a 1.3M-row input). The
+    final filter keeps only duplicated urls, so the collected dict is
+    duplicate-fraction-sized (~2% of urls in a CC-style crawl), safe to
+    broadcast at bench scale. At 10^12 rows with a high dup rate, use
+    dedup_strategy="exchange" instead.
     """
     import pyarrow.compute as pc_
 
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column
+
     cheap = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+    num_buckets = 32
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.append_column("ones", pa.array([1] * t.num_rows, pa.int64()))
         g = t.group_by(["url"]).aggregate([("warc_ts", "min"), ("ones", "sum")])
-        return g.rename_columns(["url", "min_ts", "n"])
+        return add_bucket_column(
+            g.rename_columns(["url", "min_ts", "n"]), "url", num_buckets
+        )
 
-    from ray.data.aggregate import Min, Sum
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["bucket"])
+            .group_by(["url"])
+            .aggregate([("min_ts", "min"), ("n", "sum")])
+            .rename_columns(["url", "min_ts", "n"])
+        )
+        return g.filter(pc_.greater(g["n"], 1)).drop_columns(["n"])
 
-    agg = (
+    contested = (
         cheap.map_batches(partial, batch_format="pyarrow")
-        .groupby("url")
-        .aggregate(Min("min_ts", alias_name="min_ts"), Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()  # bounded by the duplicate fraction
     )
-    contested = agg.map_batches(
-        lambda t: t.filter(pc_.greater(t["n"], 1)).drop_columns(["n"]),
-        batch_format="pyarrow",
-    ).to_pandas()  # bounded by the duplicate fraction
     if not len(contested):  # dup-free input: empty frame may carry no columns
         return {}
     return dict(zip(contested.url, contested.min_ts))
@@ -375,6 +391,114 @@ def build_pages_branch(
     return fold_documents(page_rows, approx_docs=approx_docs, num_buckets=num_buckets)
 
 
+def _inline_dataset(
+    pages_path: str,
+    cfg: EngineConfig,
+    *,
+    approx_rows: int | None,
+    backend: str,
+    num_buckets: int | None,
+) -> "ray.data.Dataset":
+    """Checkpoint-free phase A+B in ONE payload pass (stub backend).
+
+    The disk checkpoint's full-payload write is a flat, poorly-scaling I/O
+    term on this box, and a two-consumer union costs a second full
+    read+decode plus measured union overhead (~20 s at 80k docs). So the
+    fast path is a single fused stage per batch: route -> (html DOM-extract
+    | pdf text-layer | passthrough) doc rows AND (explode -> optimize ->
+    transcribe) page rows — raw page images live and die inside the task,
+    never entering the object store. Doc and page rows share a union schema
+    (doc rows have page_num null); ONE hash-bucket shuffle on url then folds
+    page runs into documents and passes doc rows through. Total movement:
+    one payload read, one small-text shuffle.
+
+    Live (actor) backends need a separate actor stage for inference, so they
+    take the two-consumer path in run_extraction instead."""
+    win_ref = _broadcast_winners(_contested_winners(pages_path))
+    from qwen_ocr_ray.stages.inference import transcribe_pages_stub
+    from qwen_ocr_ray.stages.pages_branch import (
+        FOLD_SCHEMA,
+        explode_pages,
+        fold_documents_in_bucket,
+        optimize_pages_batch,
+    )
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
+
+    union_schema = pa.schema(
+        list(FOLD_SCHEMA)
+        + [
+            ("page_num", pa.int32()),
+            ("batch_num", pa.int32()),
+            ("md", pa.string()),
+        ]
+    )
+
+    def pad_union(t: pa.Table) -> pa.Table:
+        arrays = []
+        for f in union_schema:
+            if f.name in t.column_names:
+                arrays.append(t[f.name].cast(f.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, f.type))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def route_process(t: pa.Table) -> pa.Table:
+        t = add_kind_column(_filter_winners(t, win_ref))
+        parts: list[pa.Table] = []
+        html_part = t.filter(pc.equal(t["kind"], "html"))
+        if html_part.num_rows:
+            parts.append(pad_union(_pad_doc_schema(extract_html_batch(html_part))))
+        pdf_part = t.filter(pc.equal(t["kind"], "pdf"))
+        if pdf_part.num_rows:
+            parts.append(pad_union(extract_pdf_batch(pdf_part)))
+        other = t.filter(
+            pc.invert(
+                pc.is_in(t["kind"], value_set=pa.array(["html", "pdf", "pages"]))
+            )
+        )
+        if other.num_rows:
+            parts.append(
+                pad_union(_pad_doc_schema(passthrough_batch(other, PASSTHROUGH_ERRORS)))
+            )
+        pages_part = t.filter(pc.equal(t["kind"], "pages"))
+        if pages_part.num_rows:
+            page_rows = transcribe_pages_stub(
+                optimize_pages_batch(explode_pages(pages_part, cfg), cfg)
+            ).drop_columns(["image", "width", "height"])
+            parts.append(pad_union(page_rows))
+        if not parts:
+            return pa.table({n: [] for n in union_schema.names}, schema=union_schema)
+        return pa.concat_tables(parts)
+
+    b = num_buckets or pick_num_buckets(approx_rows, rows_per_bucket=50_000)
+
+    def fold_mixed(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        doc = t.filter(pc.is_null(t["page_num"])).select(FOLD_SCHEMA.names)
+        pages = t.filter(pc.is_valid(t["page_num"]))
+        if pages.num_rows == 0:
+            return doc.cast(FOLD_SCHEMA)
+        folded = fold_documents_in_bucket(
+            pages.select(
+                ["url", "warc_ts", "lang", "page_num", "batch_num", "md",
+                 "input_tokens", "output_tokens"]
+            )
+        )
+        return pa.concat_tables([doc.cast(FOLD_SCHEMA), folded])
+
+    return (
+        load_pages(pages_path)
+        .map_batches(
+            route_process, batch_format="pyarrow", batch_size=cfg.binary_batch_size
+        )
+        .map_batches(
+            lambda t, nb=b: add_bucket_column(t, "url", nb), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(fold_mixed, batch_format="pyarrow")
+    )
+
+
 def _inline_branches(
     pages_path: str,
     cfg: EngineConfig,
@@ -383,15 +507,9 @@ def _inline_branches(
     backend: str,
     num_buckets: int | None,
 ) -> "list[ray.data.Dataset]":
-    """Checkpoint-free phase A+B: two streaming consumers over the source.
-
-    The disk checkpoint's full-payload write is a flat, poorly-scaling I/O
-    term (measured ~constant wall-time regardless of parallelism on this
-    box — BASELINE.md scaling notes). Re-reading the page-cached source once
-    per consumer is strictly cheaper: the non-pages consumer routes + DOM-
-    extracts + passthroughs in ONE fused stage (payloads die inside the
-    task), and the pages consumer routes + explodes + transcribes + folds.
-    Dedup winners are computed once and broadcast to both."""
+    """Two-consumer inline path for ACTOR (live) backends: the inference
+    stage must be an actor pool, so page rows are routed in their own
+    consumer and transcribed by the actor stage before the fold."""
     win_ref = _broadcast_winners(_contested_winners(pages_path))
 
     def route_nonpages(t: pa.Table) -> pa.Table:
@@ -461,6 +579,11 @@ def run_extraction(
         routed_dir = f"/tmp/qor_routed/{tag}"
     has_ckpt = os.path.exists(os.path.join(routed_dir, "_SUCCESS"))
     if checkpoint == "inline" or (checkpoint == "auto" and not has_ckpt):
+        if backend == "stub":
+            return _inline_dataset(
+                pages_path, cfg, approx_rows=approx_rows, backend=backend,
+                num_buckets=num_buckets,
+            )
         branches = _inline_branches(
             pages_path, cfg, approx_rows=approx_rows, backend=backend,
             num_buckets=num_buckets,

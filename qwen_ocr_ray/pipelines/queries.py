@@ -1213,11 +1213,127 @@ def _canon_media_image(sf_dir: str):
     )
 
 
+def q_events_asof_order(sf_dir: str):
+    """ASOF backward join: each event gains the customer's most recent order
+    at event time (an operator Ray Data lacks — co-bucketed single-shuffle
+    polars join_asof, stages/join.py). The right side is deduplicated to one
+    row per (custkey, orderdate) — max orderkey wins — so the nearest-match
+    is deterministic on both engines."""
+    import polars as pl
+
+    from qwen_ocr_ray.stages.join import bucketed_asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .with_columns(o_date=pl.col("o_orderdate").cast(pl.Datetime("us")))
+            .sort(["o_custkey", "o_date", "o_orderkey"])
+            .group_by(["o_custkey", "o_date"], maintain_order=True)
+            .agg(
+                o_orderkey=pl.col("o_orderkey").max(),
+                o_totalprice=pl.col("o_totalprice").sort_by("o_orderkey").last(),
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("o_date", pa.timestamp("us")),
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                ]
+            )
+        )
+
+    left_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    right_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_date", pa.timestamp("us")),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def align_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["event_id", "ts", "o_custkey"]
+        )  # user_id -> o_custkey (join key name must match)
+
+    return bucketed_asof_join(
+        events.map_batches(align_key, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        key="o_custkey",
+        left_time="ts",
+        right_time="o_date",
+        left_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("o_custkey", pa.int64()),
+            ]
+        ),
+        right_schema=right_schema,
+        num_buckets=16,
+    )
+
+
+SQL_EVENTS_ASOF_ORDER = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_date,
+         o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.ts, e.user_id AS o_custkey,
+       o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_date
+"""
+
+
+def q_ann_ivf_full(sf_dir: str):
+    """IVF top-k probing ALL cells: must equal brute force exactly (the
+    machinery-correctness complement to the approximate ann_ivf_topk)."""
+    from qwen_ocr_ray.stages.similarity import ivf_topk, kmeans_centroids, _normalize
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    mat = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
+    ids = emb["vec_id"].to_pylist()
+    query = mat[ids.index(0)]
+    centroids = kmeans_centroids(mat, k=16)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, query, k=6, centroids=centroids, nprobe=len(centroids))
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+
+
 QUERIES.update(
     {
         "extract_text": q_extract_text,
         "bpe_token_counts": q_bpe_token_counts,
         "domain_histogram": q_domain_histogram,
+        "events_asof_order": q_events_asof_order,
+        "ann_ivf_full": q_ann_ivf_full,
+    }
+)
+ORACLE.update(
+    {
+        "events_asof_order": SQL_EVENTS_ASOF_ORDER,
+        "ann_ivf_full": SQL_ANN_TOPK,
     }
 )
 QUERIES["media_audio_features"] = _canon_media_audio

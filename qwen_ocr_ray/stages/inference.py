@@ -113,16 +113,35 @@ class OpenAICompatBackend:
         return self._retry(call)
 
     def transcribe_window(
-        self, pages: list[tuple[int, bytes, int, int]], context: str
+        self, pages: list[tuple[int, bytes, int, int]], context: str,
+        *, stream: bool = True,
     ) -> str:
         """One multi-page batch call (reference: 10 pages per request,
-        document_job.py:65-161 / config.py:52)."""
+        document_job.py:65-161 / config.py:52).
+
+        ``stream=True`` consumes the response as server-sent deltas like the
+        reference's delta loop (document_job.py:104-125): a 64k-token
+        response accumulates incrementally instead of one blocking body read,
+        so the actor observes progress and client timeouts apply per chunk.
+        """
         from qwen_ocr_ray.functions.payload import build_image_content, build_messages
 
         content, _ = build_image_content(pages)
         messages = build_messages(TEXT_SYSTEM_PROMPT, context, content, len(pages))
 
         def call():
+            if stream:
+                parts: list[str] = []
+                for event in self.client.chat.completions.create(
+                    model=self.model,
+                    messages=messages,
+                    max_tokens=self.cfg.max_tokens,
+                    temperature=self.cfg.temperature,
+                    stream=True,
+                ):
+                    if event.choices and event.choices[0].delta.content:
+                        parts.append(event.choices[0].delta.content)
+                return "".join(parts)
             resp = self.client.chat.completions.create(
                 model=self.model,
                 messages=messages,
@@ -167,6 +186,18 @@ class OpenAICompatBackend:
         return self._retry(call)
 
 
+def _count_output_tokens(text: str) -> int:
+    """Output-token accounting (reference: tiktoken re-encode per delta,
+    document_job.py:115 — an O(n^2) inefficiency there; counted once per row
+    here). Without tiktoken in this sandbox, the BPE-ish pre-tokenizer regex
+    (word/number/punct split) stands in — materially closer to a real BPE
+    count than whitespace splitting, since punctuation and code tokenize
+    separately."""
+    from qwen_ocr_ray.functions.text_stats import bpe_ish_token_count
+
+    return bpe_ish_token_count(text)
+
+
 def transcribe_pages_stub(batch: pa.Table) -> pa.Table:
     """Stateless-task form of the transcribe stage for the STUB backend.
 
@@ -181,7 +212,7 @@ def transcribe_pages_stub(batch: pa.Table) -> pa.Table:
         for pn, raw in zip(batch["page_num"].to_pylist(), batch["image"].to_pylist())
     ]
     md_arr = pa.array(mds, pa.string())
-    out_tokens = pa.array([len(m.split()) for m in mds], pa.int64())
+    out_tokens = pa.array([_count_output_tokens(m) for m in mds], pa.int64())
     return batch.append_column("md", md_arr).append_column("output_tokens", out_tokens)
 
 
@@ -207,10 +238,7 @@ class TranscribePages:
             for pn, raw in zip(batch["page_num"].to_pylist(), batch["image"].to_pylist())
         ]
         md_arr = pa.array(mds, pa.string())
-        # Output-token accounting: whitespace token count stands in for the
-        # reference's tiktoken re-encode (document_job.py:115 — an O(n^2)
-        # inefficiency there; counted once per row here).
-        out_tokens = pa.array([len(m.split()) for m in mds], pa.int64())
+        out_tokens = pa.array([_count_output_tokens(m) for m in mds], pa.int64())
         return batch.append_column("md", md_arr).append_column("output_tokens", out_tokens)
 
 

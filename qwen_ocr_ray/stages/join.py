@@ -1,6 +1,6 @@
 """Join strategies (SURVEY.md §2.4; ray_guide "Joins and lookups").
 
-Two patterns, chosen by side size:
+Three patterns:
 
   * ``broadcast_join`` — small side (dimension table) is ``ray.put`` once and
     looked up inside every map_batches task via a vectorized polars join.
@@ -10,6 +10,11 @@ Two patterns, chosen by side size:
     schema, union, hash-bucket on the key, and join per bucket (one Python
     call per bucket, vectorized polars join inside). This is the explicit
     partitioned hash join; bucket count bounds per-task memory.
+  * ``bucketed_asof_join`` — an operator Ray Data lacks: per left row, the
+    latest right row with time <= left time for the same key. Co-bucketed on
+    the key (ONE shuffle), vectorized ``polars.join_asof`` per bucket.
+    Partitioning assumption: all rows of one key land in one bucket, so keys
+    must be un-skewed or pre-salted with a per-salt right-side replica.
 """
 
 from __future__ import annotations
@@ -103,6 +108,76 @@ def bucketed_hash_join(
         if lt.num_rows == 0 or rt.num_rows == 0:
             return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
         joined = pl.from_arrow(lt).join(pl.from_arrow(rt), on=key, how="inner")
+        return joined.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return (
+        tagged_left.union(tagged_right)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def bucketed_asof_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    approx_rows: int | None = None,
+    num_buckets: int | None = None,
+):
+    """Backward as-of LEFT join: each left row gains the right row with the
+    greatest ``right_time`` <= ``left_time`` for the same ``key`` (null
+    columns when none exists).
+
+    Determinism requires the right side to be unique per (key, time); the
+    caller pre-deduplicates (e.g. keep the max-id row per key+time).
+    Output columns: left columns, then right columns minus key and time.
+    """
+    b = num_buckets or pick_num_buckets(approx_rows)
+    lnames = [f.name for f in left_schema]
+    rnames = [f.name for f in right_schema if f.name not in (key, right_time)]
+    union_fields = [pa.field("__side", pa.int8())]
+    union_fields += list(left_schema)
+    union_fields += [f for f in right_schema if f.name not in lnames]
+    union_schema = pa.schema(union_fields)
+    out_schema = pa.schema(
+        [left_schema.field(n) for n in lnames]
+        + [right_schema.field(n) for n in rnames]
+    )
+
+    tagged_left = left.map_batches(
+        lambda t: add_bucket_column(_pad_to(t, union_schema, 0), key, b),
+        batch_format="pyarrow",
+    )
+    tagged_right = right.map_batches(
+        lambda t: add_bucket_column(_pad_to(t, union_schema, 1), key, b),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        import pyarrow.compute as pc
+
+        lt = t.filter(pc.equal(t["__side"], 0)).select(lnames)
+        if lt.num_rows == 0:
+            return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
+        rt = t.filter(pc.equal(t["__side"], 1)).select(
+            [key, right_time, *rnames]
+        )
+        lf = pl.from_arrow(lt).sort(left_time)
+        rf = pl.from_arrow(rt).sort(right_time)
+        joined = lf.join_asof(
+            rf,
+            left_on=left_time,
+            right_on=right_time,
+            by_left=key,
+            by_right=key,
+            strategy="backward",
+        )
         return joined.select(out_schema.names).to_arrow().cast(out_schema)
 
     return (

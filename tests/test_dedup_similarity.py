@@ -310,6 +310,44 @@ class TestBucketedHashJoin:
         assert out.rv.tolist() == [20.0, 30.0]
 
 
+class TestBucketedAsofJoin:
+    def test_backward_asof_with_misses(self, ray_session):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data
+
+        from qwen_ocr_ray.stages.join import bucketed_asof_join
+
+        T = lambda d: dt.datetime(2025, 1, d)
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([T(5), T(10), T(2), T(20)], pa.timestamp("us")),
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "rt": pa.array([T(3), T(8), T(4)], pa.timestamp("us")),
+                "val": pa.array([30.0, 80.0, 40.0], pa.float64()),
+            }
+        )
+        out = bucketed_asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="k", left_time="ts", right_time="rt",
+            left_schema=left.schema, right_schema=right.schema,
+            num_buckets=4,
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+        # eid1 (k=1, t=5)  -> rt=3 val=30; eid2 (k=1, t=10) -> rt=8 val=80
+        # eid3 (k=2, t=2)  -> no prior row -> null
+        # eid4 (k=3, t=20) -> key absent  -> null
+        assert out.val.tolist()[:2] == [30.0, 80.0]
+        assert out.val.isna().tolist() == [False, False, True, True]
+        assert len(out) == 4
+
+
 def test_exact_dedup_strategy_parity(planted_ds):
     from qwen_ocr_ray.stages.dedup_text import dedup_exact_text
 
