@@ -59,3 +59,53 @@ def run_figures(
             num_cpus=1,
         )
     )
+
+
+def write_figure_pngs(figures_ds: "ray.data.Dataset", out_dir: str) -> int:
+    """The ``{page}_fig{n}.png`` file sink (reference
+    ``src/models/extracted_image.py:33-43``), one subdirectory per document.
+
+    PNG ENCODING runs distributed (map_batches over the crop rows,
+    functions/png.py); the driver only streams the encoded bytes to files.
+    Figures are a tiny fraction of corpus bytes; at 100 TB point this at a
+    sharded object-store prefix instead of one local directory. Returns the
+    number of files written."""
+    import hashlib
+    import os
+
+    import pyarrow as pa_
+
+    def encode(t: pa.Table) -> pa.Table:
+        from qwen_ocr_ray.functions.png import encode_png
+
+        pngs = []
+        for img, w, h in zip(
+            t["image"].to_pylist(), t["width"].to_pylist(), t["height"].to_pylist()
+        ):
+            pngs.append(encode_png(img, w, h) if img is not None else None)
+        return pa_.table(
+            {
+                "url": t["url"],
+                "page_num": t["page_num"],
+                "fig_seq": t["fig_seq"],
+                "png": pa_.array(pngs, pa_.binary()),
+            }
+        )
+
+    encoded = figures_ds.map_batches(encode, batch_format="pyarrow")
+    n = 0
+    for batch in encoded.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for url, page, seq, png in zip(
+            batch["url"].to_pylist(), batch["page_num"].to_pylist(),
+            batch["fig_seq"].to_pylist(), batch["png"].to_pylist(),
+        ):
+            if png is None:
+                continue
+            doc_dir = os.path.join(
+                out_dir, hashlib.md5(url.encode()).hexdigest()[:12]
+            )
+            os.makedirs(doc_dir, exist_ok=True)
+            with open(os.path.join(doc_dir, f"{page}_fig{seq}.png"), "wb") as f:
+                f.write(png)
+            n += 1
+    return n

@@ -812,12 +812,13 @@ QUERIES["extract_figures"] = q_extract_figures
 def q_media_image_features(sf_dir: str):
     from qwen_ocr_ray.pipelines.extract import sized_read_parquet
     from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
-    from qwen_ocr_ray.stages.multimodal import RAW_RGB, ImageFeatures
+    from qwen_ocr_ray.stages.multimodal import IMAGE_MIMES, ImageFeatures
 
     path = ensure_media_dataset(sf_dir)
     ds = sized_read_parquet(path)
     return ds.map_batches(
-        lambda t: t.filter(pc.equal(t["mime"], RAW_RGB)), batch_format="pyarrow"
+        lambda t: t.filter(pc.is_in(t["mime"], value_set=pa.array(IMAGE_MIMES))),
+        batch_format="pyarrow",
     ).map_batches(ImageFeatures, batch_format="pyarrow", batch_size=256,
                   concurrency=2, num_cpus=1)
 
@@ -1071,8 +1072,14 @@ def _sf01_tag() -> str:
     return f"sf0.01_v{GEN_VERSION}"
 
 
+def _sf01_media_tag() -> str:
+    from qwen_ocr_ray.sources.synth_media import media_tag
+
+    return media_tag("/root/testdata/sf0.01")
+
+
 _PAGES01 = f"/tmp/qor_pages/{_sf01_tag()}"
-_MEDIA01 = f"/tmp/qor_media/{_sf01_tag()}"
+_MEDIA01 = f"/tmp/qor_media/{_sf01_media_tag()}"
 
 
 def q_extract_text(sf_dir: str):
@@ -1213,6 +1220,103 @@ def _canon_media_image(sf_dir: str):
     )
 
 
+def q_supplier_nation_revenue(sf_dir: str):
+    """Revenue per supplier nation: lineitem x supplier (broadcast — the
+    dimension side ships once) x nation, exact-cents revenue kernel."""
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    import polars as pl
+
+    dim = (
+        pl.from_arrow(sup)
+        .join(pl.from_arrow(nat), left_on="s_nationkey", right_on="n_nationkey")
+        .select(["s_suppkey", "n_name"])
+        .rename({"s_suppkey": "l_suppkey"})
+        .to_arrow()
+    )
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
+
+    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), dim, "l_suppkey")
+    out = grouped_sums(joined, keys=["n_name"], sum_cols={"rev": "rev"},
+                       count_name="n_items")
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = pc.divide(
+            pc.cast(
+                pc.divide(pc.add(t["rev"], pa.scalar(50, pa.int64())), 100),
+                pa.int64(),
+            ),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "total_revenue": pc.cast(total, pa.float32()),
+                "n_items": t["n_items"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_NATION_REVENUE = """
+SELECT n_name,
+       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50)
+            // 100 / 100.0 AS REAL)  AS total_revenue,
+       COUNT(*)                      AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_brand_volume(sf_dir: str):
+    """Quantity shipped per part brand: the generic bucketed hash join
+    (both sides large at scale) + partial-combined aggregate."""
+    from qwen_ocr_ray.stages.join import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        part,
+        "p_partkey",
+        pa.schema([("p_partkey", pa.int64()), ("qty", pa.int64())]),
+        pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string())]),
+        num_buckets=16,
+    )
+    return grouped_sums(joined, keys=["p_brand"], sum_cols={"qty": "total_qty"},
+                        count_name="n_items")
+
+
+SQL_BRAND_VOLUME = """
+SELECT p_brand,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       COUNT(*)                                               AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_events_asof_order(sf_dir: str):
     """ASOF backward join: each event gains the customer's most recent order
     at event time (an operator Ray Data lacks — co-bucketed single-shuffle
@@ -1328,12 +1432,16 @@ QUERIES.update(
         "domain_histogram": q_domain_histogram,
         "events_asof_order": q_events_asof_order,
         "ann_ivf_full": q_ann_ivf_full,
+        "supplier_nation_revenue": q_supplier_nation_revenue,
+        "brand_volume": q_brand_volume,
     }
 )
 ORACLE.update(
     {
         "events_asof_order": SQL_EVENTS_ASOF_ORDER,
         "ann_ivf_full": SQL_ANN_TOPK,
+        "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
+        "brand_volume": SQL_BRAND_VOLUME,
     }
 )
 QUERIES["media_audio_features"] = _canon_media_audio

@@ -16,7 +16,10 @@ import pyarrow.parquet as pq
 
 from qwen_ocr_ray.sources.pagepack import pack_pages
 from qwen_ocr_ray.sources.synth_pages import _mix
-from qwen_ocr_ray.stages.multimodal import RAW_PCM16, RAW_RGB, RAW_VIDEO
+from qwen_ocr_ray.stages.multimodal import PNG, RAW_PCM16, RAW_RGB, RAW_VIDEO
+
+# bump when only the MEDIA generator changes (pages caches stay valid)
+MEDIA_VERSION = 2
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -92,6 +95,17 @@ def generate_media_table(doc_ids: list[int]) -> pa.Table:
             cols["height"].append(24)
             cols["sample_rate"].append(None)
             cols["n_frames"].append(nf)
+        elif r < 97:
+            # real-codec path: PNG-encoded image (functions/png.py)
+            from qwen_ocr_ray.functions.png import encode_png
+
+            raw, w, h = _image(doc_id)
+            cols["mime"].append(PNG)
+            cols["payload"].append(encode_png(raw, w, h))
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["sample_rate"].append(None)
+            cols["n_frames"].append(None)
         else:
             cols["mime"].append("image/jpeg")  # stubbed codec path
             cols["payload"].append(b"\xff\xd8\xff\xe0junk" + bytes([doc_id % 256] * 16))
@@ -133,19 +147,28 @@ def _write_oracle_sidecars(table: pa.Table, out_dir: str) -> None:
     pq.write_table(samples_tbl, tmp, row_group_size=65536)
     os.replace(tmp, os.path.join(out_dir, "audio_samples.parquet"))
 
-    from qwen_ocr_ray.stages.multimodal import ImageFeatures
+    from qwen_ocr_ray.stages.multimodal import IMAGE_MIMES, ImageFeatures
 
-    imgs = table.filter(pa.compute.equal(table["mime"], RAW_RGB))
+    imgs = table.filter(
+        pa.compute.is_in(table["mime"], value_set=pa.array(IMAGE_MIMES))
+    )
     feats = ImageFeatures()(imgs)
     tmp = os.path.join(out_dir, f"image_expected.tmp.{os.getpid()}")
     pq.write_table(feats, tmp, row_group_size=1024)
     os.replace(tmp, os.path.join(out_dir, "image_expected.parquet"))
 
 
-def ensure_media_dataset(sf_dir: str, cache_root: str = "/tmp/qor_media") -> str:
+def media_tag(sf_dir: str) -> str:
     from qwen_ocr_ray.sources.synth_pages import GEN_VERSION
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
+    return (
+        os.path.basename(os.path.normpath(sf_dir))
+        + f"_v{GEN_VERSION}m{MEDIA_VERSION}"
+    )
+
+
+def ensure_media_dataset(sf_dir: str, cache_root: str = "/tmp/qor_media") -> str:
+    tag = media_tag(sf_dir)
     out_dir = os.path.join(cache_root, tag)
     path = os.path.join(out_dir, "media.parquet")
     sidecars = [os.path.join(out_dir, f) for f in

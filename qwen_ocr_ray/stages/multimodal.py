@@ -28,11 +28,20 @@ from qwen_ocr_ray.sources.pagepack import unpack_pages
 RAW_RGB = "image/x-raw-rgb"
 RAW_PCM16 = "audio/x-raw-pcm16"
 RAW_VIDEO = "video/x-rawpages"
+PNG = "image/png"
+
+IMAGE_MIMES = (RAW_RGB, PNG)
 
 
 def _decode_image(payload: bytes, mime: str, width: int, height: int) -> np.ndarray:
     if mime == RAW_RGB:
         return rgb_view(payload, width, height)
+    if mime == PNG:
+        # real codec: pure-python PNG (functions/png.py) — zlib + numpy
+        from qwen_ocr_ray.functions.png import decode_png
+
+        w, h, rgb = decode_png(payload)
+        return rgb_view(rgb, w, h)
     raise NotImplementedError(f"no codec for {mime} in this sandbox")
 
 

@@ -39,16 +39,18 @@ def oracle_for(name: str, sf_dir: str) -> str:
     sql = ORACLE[name]
     if "/tmp/qor_" not in sql:
         return sql
-    from qwen_ocr_ray.pipelines.queries import _sf01_tag
-    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.pipelines.queries import _sf01_media_tag, _sf01_tag
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset, media_tag
     from qwen_ocr_ray.sources.synth_pages import GEN_VERSION, ensure_pages_dataset
 
     tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
     if "/tmp/qor_pages/" in sql:
         ensure_pages_dataset(sf_dir)
+        sql = sql.replace(_sf01_tag(), tag)
     if "/tmp/qor_media/" in sql:
         ensure_media_dataset(sf_dir)
-    return sql.replace(_sf01_tag(), tag)
+        sql = sql.replace(_sf01_media_tag(), media_tag(sf_dir))
+    return sql
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
