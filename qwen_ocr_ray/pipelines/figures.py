@@ -24,19 +24,44 @@ def run_figures(
     routed_dir: str | None = None,
     approx_rows: int | None = None,
     backend: str = "stub",
+    checkpoint: str = "auto",
 ) -> "ray.data.Dataset":
+    """Figures need only kind=pages rows, so the default is a single inline
+    routed consumer (no checkpoint write); reuse an existing complete disk
+    checkpoint when present, or force one with checkpoint="disk"."""
     import hashlib
     import os
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if routed_dir is None:
         tag = hashlib.md5(os.path.abspath(pages_path).encode()).hexdigest()[:12]
         routed_dir = f"/tmp/qor_routed/{tag}"
-    os.makedirs(routed_dir, exist_ok=True)
-    route_and_checkpoint(pages_path, routed_dir, cfg, approx_rows=approx_rows)
+    has_ckpt = os.path.exists(os.path.join(routed_dir, "_SUCCESS"))
 
-    pages_rows = _read_kind(routed_dir, "pages")
+    if checkpoint == "inline" or (checkpoint == "auto" and not has_ckpt):
+        from qwen_ocr_ray.pipelines.extract import (
+            _broadcast_winners,
+            _contested_winners,
+            _filter_winners,
+            load_pages,
+        )
+        from qwen_ocr_ray.stages.route import add_kind_column
+
+        win_ref = _broadcast_winners(_contested_winners(pages_path))
+
+        def route_pages(t: pa.Table) -> pa.Table:
+            t = add_kind_column(_filter_winners(t, win_ref))
+            return t.filter(pc.equal(t["kind"], "pages"))
+
+        pages_rows = load_pages(pages_path).map_batches(
+            route_pages, batch_format="pyarrow", batch_size=cfg.binary_batch_size
+        )
+    else:
+        os.makedirs(routed_dir, exist_ok=True)
+        route_and_checkpoint(pages_path, routed_dir, cfg, approx_rows=approx_rows)
+        pages_rows = _read_kind(routed_dir, "pages")
     if pages_rows is None:
         return ray.data.from_arrow(
             pa.table({n: [] for n in FIGURES_SCHEMA.names}, schema=FIGURES_SCHEMA)
