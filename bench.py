@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "segment_revenue",
     "region_revenue",
     "order_lineitem_join",
+    "supplier_nation_revenue",
+    "brand_volume",
+    "events_asof_order",
     "first_event_per_user",
     "events_hourly",
     "events_running_total",
@@ -69,12 +72,19 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     # untimed: generate + warm the page cache (guide: measure compute+shuffle,
-    # not the first disk read)
+    # not the first disk read). The VM drops its page cache under memory
+    # pressure, so warm the query tables too — cold reads hit this box's
+    # pathological fresh-page-fault path and would charge disk to the engine.
     pages_path, _ = ensure_pages_dataset(SF_DIR, replicate=REPLICATE)
     n_rows = pq.read_metadata(pages_path).num_rows
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    warm_files = [pages_path] + [
+        os.path.join(SF_DIR, f) for f in sorted(os.listdir(SF_DIR))
+        if f.endswith(".parquet")
+    ]
+    for path in warm_files:
+        with open(path, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     # untimed: spin up the worker pool and trigger library imports in every
     # worker — in this sandbox 32-worker cold start costs tens of seconds and

@@ -106,6 +106,28 @@ def test_dedup_strategy_parity(synth, tmp_path_factory):
     assert a.kind.tolist() == b.kind.tolist()
 
 
+def test_empty_input_yields_empty_output(ray_session, tmp_path):
+    """Zero-row input flows through route -> fold without error (the
+    last-shard-of-a-sharded-run edge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from qwen_ocr_ray.pipelines.extract import run_extraction
+
+    t = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "html": pa.array([], pa.binary()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        }
+    )
+    p = str(tmp_path / "empty.parquet")
+    pq_.write_table(t, p)
+    assert run_extraction(p).count() == 0
+
+
 def test_training_prep_composition(synth):
     from qwen_ocr_ray.pipelines.prep import run_training_prep
 
