@@ -391,40 +391,10 @@ def build_pages_branch(
     return fold_documents(page_rows, approx_docs=approx_docs, num_buckets=num_buckets)
 
 
-def _inline_dataset(
-    pages_path: str,
-    cfg: EngineConfig,
-    *,
-    approx_rows: int | None,
-    backend: str,
-    num_buckets: int | None,
-) -> "ray.data.Dataset":
-    """Checkpoint-free phase A+B in ONE payload pass (stub backend).
+def _union_schema() -> pa.Schema:
+    from qwen_ocr_ray.stages.pages_branch import FOLD_SCHEMA
 
-    The disk checkpoint's full-payload write is a flat, poorly-scaling I/O
-    term on this box, and a two-consumer union costs a second full
-    read+decode plus measured union overhead (~20 s at 80k docs). So the
-    fast path is a single fused stage per batch: route -> (html DOM-extract
-    | pdf text-layer | passthrough) doc rows AND (explode -> optimize ->
-    transcribe) page rows — raw page images live and die inside the task,
-    never entering the object store. Doc and page rows share a union schema
-    (doc rows have page_num null); ONE hash-bucket shuffle on url then folds
-    page runs into documents and passes doc rows through. Total movement:
-    one payload read, one small-text shuffle.
-
-    Live (actor) backends need a separate actor stage for inference, so they
-    take the two-consumer path in run_extraction instead."""
-    win_ref = _broadcast_winners(_contested_winners(pages_path))
-    from qwen_ocr_ray.stages.inference import transcribe_pages_stub
-    from qwen_ocr_ray.stages.pages_branch import (
-        FOLD_SCHEMA,
-        explode_pages,
-        fold_documents_in_bucket,
-        optimize_pages_batch,
-    )
-    from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
-
-    union_schema = pa.schema(
+    return pa.schema(
         list(FOLD_SCHEMA)
         + [
             ("page_num", pa.int32()),
@@ -432,6 +402,16 @@ def _inline_dataset(
             ("md", pa.string()),
         ]
     )
+
+
+def make_route_process(win_ref, cfg: EngineConfig):
+    """The fused phase-A+B kernel (stub backend): raw payload batch -> mixed
+    doc rows + transcribed page rows on the union schema (doc rows carry a
+    null page_num). Raw page images never leave the task."""
+    from qwen_ocr_ray.stages.inference import transcribe_pages_stub
+    from qwen_ocr_ray.stages.pages_branch import explode_pages, optimize_pages_batch
+
+    union_schema = _union_schema()
 
     def pad_union(t: pa.Table) -> pa.Table:
         arrays = []
@@ -470,21 +450,57 @@ def _inline_dataset(
             return pa.table({n: [] for n in union_schema.names}, schema=union_schema)
         return pa.concat_tables(parts)
 
-    b = num_buckets or pick_num_buckets(approx_rows, rows_per_bucket=50_000)
+    return route_process
 
-    def fold_mixed(t: pa.Table) -> pa.Table:
+
+def fold_mixed_bucket(t: pa.Table) -> pa.Table:
+    """One url-bucket of mixed rows: doc rows pass through; page-row url
+    runs fold into documents (stages/pages_branch.fold_documents_in_bucket)."""
+    from qwen_ocr_ray.stages.pages_branch import FOLD_SCHEMA, fold_documents_in_bucket
+
+    if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
-        doc = t.filter(pc.is_null(t["page_num"])).select(FOLD_SCHEMA.names)
-        pages = t.filter(pc.is_valid(t["page_num"]))
-        if pages.num_rows == 0:
-            return doc.cast(FOLD_SCHEMA)
-        folded = fold_documents_in_bucket(
-            pages.select(
-                ["url", "warc_ts", "lang", "page_num", "batch_num", "md",
-                 "input_tokens", "output_tokens"]
-            )
+    doc = t.filter(pc.is_null(t["page_num"])).select(FOLD_SCHEMA.names)
+    pages = t.filter(pc.is_valid(t["page_num"]))
+    if pages.num_rows == 0:
+        return doc.cast(FOLD_SCHEMA)
+    folded = fold_documents_in_bucket(
+        pages.select(
+            ["url", "warc_ts", "lang", "page_num", "batch_num", "md",
+             "input_tokens", "output_tokens"]
         )
-        return pa.concat_tables([doc.cast(FOLD_SCHEMA), folded])
+    )
+    return pa.concat_tables([doc.cast(FOLD_SCHEMA), folded])
+
+
+def _inline_dataset(
+    pages_path: str,
+    cfg: EngineConfig,
+    *,
+    approx_rows: int | None,
+    backend: str,
+    num_buckets: int | None,
+) -> "ray.data.Dataset":
+    """Checkpoint-free phase A+B in ONE payload pass (stub backend).
+
+    The disk checkpoint's full-payload write is a flat, poorly-scaling I/O
+    term on this box, and a two-consumer union costs a second full
+    read+decode plus measured union overhead (~20 s at 80k docs). So the
+    fast path is a single fused stage per batch: route -> (html DOM-extract
+    | pdf text-layer | passthrough) doc rows AND (explode -> optimize ->
+    transcribe) page rows — raw page images live and die inside the task,
+    never entering the object store. Doc and page rows share a union schema
+    (doc rows have page_num null); ONE hash-bucket shuffle on url then folds
+    page runs into documents and passes doc rows through. Total movement:
+    one payload read, one small-text shuffle.
+
+    Live (actor) backends need a separate actor stage for inference, so they
+    take the two-consumer path in run_extraction instead."""
+    win_ref = _broadcast_winners(_contested_winners(pages_path))
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
+
+    route_process = make_route_process(win_ref, cfg)
+    b = num_buckets or pick_num_buckets(approx_rows, rows_per_bucket=50_000)
 
     return (
         load_pages(pages_path)
@@ -495,7 +511,7 @@ def _inline_dataset(
             lambda t, nb=b: add_bucket_column(t, "url", nb), batch_format="pyarrow"
         )
         .groupby("bucket")
-        .map_groups(fold_mixed, batch_format="pyarrow")
+        .map_groups(fold_mixed_bucket, batch_format="pyarrow")
     )
 
 

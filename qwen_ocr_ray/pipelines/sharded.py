@@ -99,6 +99,85 @@ def _build_shard_dataset(shard: dict, cfg: EngineConfig, backend: str) -> "ray.d
     )
 
 
+def _plan_input_shards(pages_path: str, row_groups_per_shard: int) -> list[dict]:
+    """Input-level shard plan: per parquet file, contiguous row-group ranges.
+
+    The generators write row_group_size=1024, so a row-group range is an
+    addressable, deterministic slice; at real scale each CC segment FILE is
+    its own shard and the range covers the whole file. Lineage = (file,
+    rg_lo, rg_hi)."""
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(
+            os.path.join(pages_path, f)
+            for f in os.listdir(pages_path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    shards = []
+    for fi, path in enumerate(files):
+        n_rg = pq.read_metadata(path).num_row_groups
+        for lo in range(0, n_rg, row_groups_per_shard):
+            hi = min(n_rg, lo + row_groups_per_shard)
+            shards.append(
+                {
+                    "shard": f"f{fi}-rg{lo}",
+                    "kind": "inline",
+                    "input_files": [f"{path}#rg[{lo},{hi})"],
+                    "path": path,
+                    "rg_lo": lo,
+                    "rg_hi": hi,
+                }
+            )
+    return shards
+
+
+def _build_inline_shard_dataset(
+    shard: dict, cfg: EngineConfig, win_ref, num_buckets: int
+) -> "ray.data.Dataset":
+    """One input shard -> extracted docs via the fused inline kernel.
+
+    The row-group range is read INSIDE workers (each task opens the file and
+    reads its assigned groups — nothing passes through the driver); the
+    fused route/extract/transcribe kernel and the url-bucket fold then run
+    as a normal per-shard Ray Data graph. A document's page rows all come
+    from one input row, so folding within a shard is exact; url dedup uses
+    the broadcast global winner map."""
+    from qwen_ocr_ray.pipelines.extract import fold_mixed_bucket, make_route_process
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column
+
+    route_process = make_route_process(win_ref, cfg)
+    path, lo, hi = shard["path"], shard["rg_lo"], shard["rg_hi"]
+    groups = [{"rg": g} for g in range(lo, hi)]
+
+    def read_groups(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        tables = [
+            f.read_row_group(g, columns=["url", "warc_ts", "html", "lang"])
+            for g in t["rg"].to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    return (
+        ray.data.from_items(groups)
+        .map_batches(read_groups, batch_format="pyarrow", batch_size=1)
+        .map_batches(
+            route_process, batch_format="pyarrow", batch_size=cfg.binary_batch_size
+        )
+        .map_batches(
+            lambda t, nb=num_buckets: add_bucket_column(t, "url", nb),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(fold_mixed_bucket, batch_format="pyarrow")
+    )
+
+
 def run_sharded_extraction(
     pages_path: str,
     out_dir: str,
@@ -107,18 +186,42 @@ def run_sharded_extraction(
     files_per_shard: int = 4,
     approx_rows: int | None = None,
     backend: str = "stub",
+    strategy: str = "checkpoint",
+    row_groups_per_shard: int = 16,
     fail_on_shard: str | None = None,  # test hook: simulate a mid-run crash
 ) -> dict:
-    """Run (or resume) the full extraction; returns a summary dict."""
+    """Run (or resume) the full extraction; returns a summary dict.
+
+    ``strategy="checkpoint"`` (durable phase A): build/reuse the
+    kind-partitioned routed checkpoint, shard its part files per kind.
+
+    ``strategy="inline"`` (fast path, stub backend): shard the INPUT by
+    (file, row-group range) — no checkpoint write at all; each shard runs
+    the fused inline kernel with the broadcast global dedup winner map and
+    commits atomically through the same manifest protocol."""
     routed_dir = os.path.join(out_dir, "routed")
     manifest_dir = os.path.join(out_dir, "_manifest")
     shards_dir = os.path.join(out_dir, "shards")
-    for d in (routed_dir, manifest_dir, shards_dir):
+    for d in (manifest_dir, shards_dir):
         os.makedirs(d, exist_ok=True)
 
-    route_and_checkpoint(pages_path, routed_dir, cfg, approx_rows=approx_rows)
+    win_ref = None
+    if strategy == "inline":
+        from qwen_ocr_ray.pipelines.extract import (
+            _broadcast_winners,
+            _contested_winners,
+        )
+        from qwen_ocr_ray.stages.bucketing import pick_num_buckets
 
-    plan = _shard_plan(routed_dir, files_per_shard)
+        plan = _plan_input_shards(pages_path, row_groups_per_shard)
+        win_ref = _broadcast_winners(_contested_winners(pages_path))
+        inline_buckets = pick_num_buckets(
+            row_groups_per_shard * 1024, rows_per_bucket=50_000
+        )
+    else:
+        os.makedirs(routed_dir, exist_ok=True)
+        route_and_checkpoint(pages_path, routed_dir, cfg, approx_rows=approx_rows)
+        plan = _shard_plan(routed_dir, files_per_shard)
     done, ran, failed = [], [], []
     for shard in plan:
         name = shard["shard"]
@@ -147,7 +250,10 @@ def run_sharded_extraction(
             "error": None,
         }
         try:
-            ds = _build_shard_dataset(shard, cfg, backend)
+            if strategy == "inline":
+                ds = _build_inline_shard_dataset(shard, cfg, win_ref, inline_buckets)
+            else:
+                ds = _build_shard_dataset(shard, cfg, backend)
             ds.write_parquet(tmp_dir)
             os.replace(tmp_dir, final_dir)
             import pyarrow.parquet as pq

@@ -113,3 +113,39 @@ class TestShardedResume:
         assert man["status"] == "done"
         assert man["input_files"] and all(os.path.exists(p) for p in man["input_files"])
         assert man["rows_out"] >= 0 and man["bytes_out"] > 0 and man["wall_s"] > 0
+
+    def test_inline_strategy_crash_resume_identical(self, synth, tmp_path_factory):
+        """Checkpoint-free input sharding (row-group ranges + fused kernel):
+        crash, resume, byte-identical output — and no routed/ dir at all."""
+        from qwen_ocr_ray.pipelines.sharded import _plan_input_shards
+        from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+        # sf0.001 fits one 1024-row row group; replicate x4 -> multiple
+        # row groups so the input-level shard plan has >1 entry
+        pages_path, golden_path = ensure_pages_dataset(
+            "/root/testdata/sf0.001", replicate=4
+        )
+        out_dir = str(tmp_path_factory.mktemp("sharded_inline"))
+        plan = _plan_input_shards(pages_path, 1)
+        assert len(plan) >= 2
+        victim = plan[-1]["shard"]
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_sharded_extraction(
+                pages_path, out_dir, strategy="inline", row_groups_per_shard=1,
+                fail_on_shard=victim,
+            )
+        manifests = os.listdir(os.path.join(out_dir, "_manifest"))
+        assert 0 < len(manifests) < len(plan)
+
+        summary = run_sharded_extraction(
+            pages_path, out_dir, strategy="inline", row_groups_per_shard=1,
+        )
+        assert summary["shards_failed"] == []
+        assert len(summary["shards_skipped"]) == len(manifests)
+        assert not os.path.exists(os.path.join(out_dir, "routed", "_SUCCESS"))
+
+        out = read_extraction_output(out_dir).to_pandas()
+        golden = pq.read_table(golden_path).to_pandas()
+        m = out.merge(golden, on="url", suffixes=("", "_exp"))
+        assert len(m) == len(golden) == len(out)
+        assert (m.text == m.text_exp).all()
