@@ -106,6 +106,27 @@ def test_dedup_strategy_parity(synth, tmp_path_factory):
     assert a.kind.tolist() == b.kind.tolist()
 
 
+def test_two_consumer_inline_path_matches_fused(synth, extracted):
+    """The actor-backend inline path (two consumers + union) must produce
+    the same url->text map as the default fused single pass (it is the live
+    path; the stub exercises its plumbing)."""
+    from qwen_ocr_ray.config import DEFAULT_CONFIG
+    from qwen_ocr_ray.pipelines.extract import _inline_branches
+
+    pages_path, _, _ = synth
+    branches = _inline_branches(
+        pages_path, DEFAULT_CONFIG, approx_rows=600, backend="stub",
+        num_buckets=None,
+    )
+    ds = branches[0]
+    for b in branches[1:]:
+        ds = ds.union(b)
+    out = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    ref = extracted.sort_values("url").reset_index(drop=True)
+    assert out.url.tolist() == ref.url.tolist()
+    assert out.text.tolist() == ref.text.tolist()
+
+
 def test_empty_input_yields_empty_output(ray_session, tmp_path):
     """Zero-row input flows through route -> fold without error (the
     last-shard-of-a-sharded-run edge)."""

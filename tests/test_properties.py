@@ -101,3 +101,49 @@ class TestSketchProperties:
     @settings(max_examples=100, deadline=None)
     def test_signature_fixed_length(self, text):
         assert len(minhash_signature(shingle_hashes(text))) == 64
+
+
+class TestPdfRoundTripProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+                    max_size=60,
+                ),
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_any_latin1_pages_round_trip(self, pages):
+        """build_simple_pdf -> extract_pdf_text is the identity on
+        latin-1-sanitized lines (escapes, parens, backslashes included)."""
+        from qwen_ocr_ray.functions.pdf_text import (
+            build_simple_pdf,
+            extract_pdf_text,
+            pdf_page_count,
+            sanitize_pdf_text,
+        )
+
+        pages = [[sanitize_pdf_text(line) for line in p] for p in pages]
+        data = build_simple_pdf(pages)
+        assert pdf_page_count(data) == len(pages)
+        assert extract_pdf_text(data) == ["\n".join(p) for p in pages]
+
+
+class TestPngRoundTripProperties:
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_any_rgb_image_round_trips(self, w, h, seed):
+        import numpy as np
+
+        from qwen_ocr_ray.functions.png import decode_png, encode_png
+
+        rng = np.random.RandomState(seed % (2**31))
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ww, hh, rgb = decode_png(encode_png(img.tobytes(), w, h))
+        assert (ww, hh) == (w, h)
+        assert rgb == img.tobytes()
