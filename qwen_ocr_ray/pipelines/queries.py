@@ -70,9 +70,18 @@ def q_filter_project(sf_dir: str):
                     pc.less_equal(t["l_discount"], 0.06)),
         )
         t = t.filter(mask)
-        rev = pc.round(
-            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-            ndigits=4,
+        # price/discount carry 2 decimals, so the revenue has EXACTLY 4 —
+        # compute in integer ten-thousandths and divide once, which is
+        # bit-identical across engines (pc.round vs DuckDB ROUND differ in
+        # the last ulp on some doubles)
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.divide(
+            pc.cast(
+                pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)),
+                pa.float64(),
+            ),
+            pa.scalar(10000.0),
         )
         return pa.table(
             {
@@ -88,7 +97,8 @@ def q_filter_project(sf_dir: str):
 
 SQL_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber, l_quantity,
-       ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1995-06-01'
   AND l_discount BETWEEN 0.02 AND 0.06

