@@ -1215,6 +1215,111 @@ FROM (SELECT media_id, width, height, n_frames
 """
 
 
+def q_events_hopping_window(sf_dir: str):
+    """HOPPING (sliding) window aggregate: 1-hour windows every 15 minutes.
+    Each event lands in 4 overlapping windows — a flat-map explode to
+    (window_start, value) rows, then the standard partial-combined groupby.
+    Completes the windowed-aggregate family (tumbling: events_hourly,
+    session: events_sessions, cumulative: events_running_total)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hop_us = 15 * 60 * 1_000_000
+    win_us = 60 * 60 * 1_000_000
+    k = win_us // hop_us  # windows per event
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        parts = []
+        for i in range(k):
+            # last window starting at or before ts, minus i hops
+            start = pc.multiply(
+                pc.subtract(pc.divide(ts_us, hop_us), i), hop_us
+            )
+            keep = pc.less(pc.subtract(ts_us, start), win_us)
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pc.cast(
+                            start, pa.timestamp("us")
+                        ),
+                        "value": t["value"],
+                    }
+                ).filter(keep)
+            )
+        return pa.concat_tables(parts)
+
+    out = grouped_sums(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["window_start"],
+        sum_cols={"value": "sum_value"},
+        count_name="n_events",
+    )
+    return out.map_batches(
+        lambda t: _canon_floats(t, ["sum_value"], 4), batch_format="pyarrow"
+    )
+
+
+SQL_EVENTS_HOPPING_WINDOW = """
+WITH hops AS (
+  SELECT e.ts, e.value,
+         MAKE_TIMESTAMP(((EPOCH_US(e.ts) // 900000000) - h.i) * 900000000)
+           AS window_start
+  FROM events e, (SELECT UNNEST(generate_series(0, 3)) AS i) h
+  WHERE EPOCH_US(e.ts) - (((EPOCH_US(e.ts) // 900000000) - h.i) * 900000000)
+        < 3600000000
+)
+SELECT window_start,
+       CAST(ROUND(SUM(value), 4) AS REAL) AS sum_value,
+       COUNT(*)                           AS n_events
+FROM hops
+GROUP BY window_start
+"""
+
+
+def q_media_image_resize(sf_dir: str):
+    """Actor-pool image resize (area-mean kernel) over the media table;
+    the oracle checks the per-row plumbing contract: every decodable image
+    row yields one 64x64 raw-RGB payload."""
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
+    from qwen_ocr_ray.stages.multimodal import IMAGE_MIMES, ResizeImages
+
+    path = ensure_media_dataset(sf_dir)
+    ds = sized_read_parquet(path)
+    resized = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["mime"], value_set=pa.array(IMAGE_MIMES))),
+        batch_format="pyarrow",
+    ).map_batches(ResizeImages, batch_format="pyarrow", batch_size=256,
+                  concurrency=2, num_cpus=1)
+
+    def project(t: pa.Table) -> pa.Table:
+        lens = pa.array(
+            [len(p) if p is not None else None for p in t["payload"].to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "payload_bytes": lens,
+                "error": t["error"],
+            }
+        )
+
+    return resized.map_batches(project, batch_format="pyarrow")
+
+
+SQL_MEDIA_IMAGE_RESIZE = f"""
+SELECT media_id,
+       CAST(64 AS INTEGER)        AS width,
+       CAST(64 AS INTEGER)        AS height,
+       CAST(64 * 64 * 3 AS BIGINT) AS payload_bytes,
+       CAST(NULL AS VARCHAR)      AS error
+FROM read_parquet('{_MEDIA01}/media.parquet')
+WHERE mime IN ('image/x-raw-rgb', 'image/png')
+"""
+
+
 def _canon_media_audio(sf_dir: str):
     return q_media_audio_features(sf_dir).map_batches(
         lambda t: _canon_floats(t, ["rms"], 4), batch_format="pyarrow"
@@ -1444,6 +1549,8 @@ QUERIES.update(
         "ann_ivf_full": q_ann_ivf_full,
         "supplier_nation_revenue": q_supplier_nation_revenue,
         "brand_volume": q_brand_volume,
+        "events_hopping_window": q_events_hopping_window,
+        "media_image_resize": q_media_image_resize,
     }
 )
 ORACLE.update(
@@ -1464,5 +1571,7 @@ ORACLE.update(
         "media_audio_features": SQL_MEDIA_AUDIO_FEATURES,
         "media_image_features": SQL_MEDIA_IMAGE_FEATURES,
         "media_video_frames": SQL_MEDIA_VIDEO_FRAMES,
+        "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
+        "media_image_resize": SQL_MEDIA_IMAGE_RESIZE,
     }
 )
