@@ -106,8 +106,22 @@ def _stream_bytes(body: bytes) -> bytes | None:
     if end < 0:
         return None
     raw = body[start:end]
-    if raw.endswith(b"\n"):
-        raw = raw[:-1]
+    # Stream DATA may legitimately end with 0x0A while the writer omitted the
+    # optional newline before 'endstream' — an unconditional strip would
+    # truncate it. Disambiguate with the declared /Length when present;
+    # otherwise (Flate) try the unstripped slice first and fall back.
+    m = re.search(rb"/Length\s+(\d+)", body[:i])
+    declared = int(m.group(1)) if m else None
+    if declared is not None and 0 <= len(raw) - declared <= 2:
+        raw = raw[:declared]
+    elif raw.endswith(b"\n"):
+        if b"/FlateDecode" in body[:i]:
+            try:
+                return zlib.decompress(raw)
+            except zlib.error:
+                raw = raw[:-1]
+        else:
+            raw = raw[:-1]
     if b"/FlateDecode" in body[:i]:
         return zlib.decompress(raw)
     return raw

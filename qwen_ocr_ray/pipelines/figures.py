@@ -126,8 +126,11 @@ def write_figure_pngs(figures_ds: "ray.data.Dataset", out_dir: str) -> int:
         ):
             if png is None:
                 continue
+            # full digest: a truncated prefix has a real birthday-collision
+            # risk at the 10^12-doc target (two urls sharing a directory
+            # could silently overwrite each other's {page}_fig{n}.png)
             doc_dir = os.path.join(
-                out_dir, hashlib.md5(url.encode()).hexdigest()[:12]
+                out_dir, hashlib.md5(url.encode()).hexdigest()
             )
             os.makedirs(doc_dir, exist_ok=True)
             with open(os.path.join(doc_dir, f"{page}_fig{seq}.png"), "wb") as f:

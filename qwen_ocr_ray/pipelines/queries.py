@@ -38,6 +38,24 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return sized_read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _auto_buckets(sf_dir: str, table: str, rows_per_bucket: int = 100_000) -> int:
+    """Input-sized bucket count for the per-key query kernels (the flagship's
+    own discipline — a fixed literal caps shuffle parallelism and lets
+    per-bucket memory grow unbounded with the input). Floor at the session
+    CPU count so small inputs still use the whole machine; row metadata is a
+    parquet-footer read, not a scan."""
+    from qwen_ocr_ray.stages.bucketing import pick_num_buckets
+
+    n = pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(cpus, pick_num_buckets(n, rows_per_bucket=rows_per_bucket))
+
+
 def _canon_floats(t: pa.Table, cols: list[str], ndigits: int = 4) -> pa.Table:
     """Cross-engine float canonicalization: round, then cast float32.
 
@@ -221,7 +239,7 @@ def q_order_lineitem_join(sf_dir: str):
 
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
-    num_buckets = 16
+    num_buckets = _auto_buckets(sf_dir, "lineitem")
 
     union_schema = pa.schema(
         [
@@ -330,11 +348,13 @@ def q_first_event_per_user(sf_dir: str):
     """Exact first-wins dedup, bucketed (the url-dedup kernel on events)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
+    nb = _auto_buckets(sf_dir, "events")
+
     def bucket(t: pa.Table) -> pa.Table:
         return add_bucket_column(
             t.set_column(t.column_names.index("user_id"), "user_id",
                          pc.cast(t["user_id"], pa.string())),
-            "user_id", 16,
+            "user_id", nb,
         )
 
     def first_in_bucket(t: pa.Table) -> pa.Table:
@@ -426,10 +446,11 @@ def q_events_running_total(sf_dir: str):
     import polars as pl
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = _auto_buckets(sf_dir, "events")
 
     def bucket(t: pa.Table) -> pa.Table:
         return add_bucket_column(
-            t.append_column("user_key", pc.cast(t["user_id"], pa.string())), "user_key", 16
+            t.append_column("user_key", pc.cast(t["user_id"], pa.string())), "user_key", nb
         ).drop_columns(["user_key"])
 
     def running(t: pa.Table) -> pa.Table:
@@ -520,13 +541,9 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k vs a broadcast query vector (numpy matmul per
     batch); the LSH-bucketed variant lives in stages/similarity.py."""
-    query = None
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    for batch in emb.to_batches():
-        ids = batch["vec_id"].to_pylist()
-        if 0 in ids:
-            query = np.asarray(batch["embedding"].to_pylist()[ids.index(0)], dtype=np.float64)
-            break
+    from qwen_ocr_ray.stages.similarity import load_query_vector
+
+    query = load_query_vector(os.path.join(sf_dir, "embeddings.parquet"), 0)
     qn = query / np.linalg.norm(query)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -891,10 +908,11 @@ def q_events_sessions(sf_dir: str):
     import polars as pl
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = _auto_buckets(sf_dir, "events")
 
     def bucket(t: pa.Table) -> pa.Table:
         return add_bucket_column(
-            t.append_column("uk", pc.cast(t["user_id"], pa.string())), "uk", 16
+            t.append_column("uk", pc.cast(t["user_id"], pa.string())), "uk", nb
         ).drop_columns(["uk"])
 
     def sessions(t: pa.Table) -> pa.Table:
@@ -953,10 +971,11 @@ def q_top_orders_per_customer(sf_dir: str):
     import polars as pl
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    nb = _auto_buckets(sf_dir, "orders")
 
     def bucket(t: pa.Table) -> pa.Table:
         return add_bucket_column(
-            t.append_column("ck", pc.cast(t["o_custkey"], pa.string())), "ck", 16
+            t.append_column("ck", pc.cast(t["o_custkey"], pa.string())), "ck", nb
         ).drop_columns(["ck"])
 
     def topk(t: pa.Table) -> pa.Table:
@@ -989,14 +1008,13 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
 def q_ann_ivf_topk(sf_dir: str):
     """IVF top-k: centroids trained on the (small) corpus sample, query probes
     nprobe cells. Approximate; rows-only check."""
-    from qwen_ocr_ray.stages.similarity import ivf_topk, kmeans_centroids, _normalize
+    from qwen_ocr_ray.stages.similarity import (
+        _normalize, ivf_topk, kmeans_centroids, load_query_vector, sample_embeddings,
+    )
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    mat = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
-    ids = emb["vec_id"].to_pylist()
-    query = mat[ids.index(0)]
-    centroids = kmeans_centroids(mat, k=16)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    query = _normalize(load_query_vector(path, 0)[None, :])[0]
+    centroids = kmeans_centroids(_normalize(sample_embeddings(path)), k=16)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, query, k=6, centroids=centroids, nprobe=3)
     return out.map_batches(
@@ -1417,7 +1435,7 @@ def q_brand_volume(sf_dir: str):
         "p_partkey",
         pa.schema([("p_partkey", pa.int64()), ("qty", pa.int64())]),
         pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string())]),
-        num_buckets=16,
+        num_buckets=_auto_buckets(sf_dir, "lineitem"),
     )
     return grouped_sums(joined, keys=["p_brand"], sum_cols={"qty": "total_qty"},
                         count_name="n_items")
@@ -1435,9 +1453,11 @@ GROUP BY p_brand
 def q_events_asof_order(sf_dir: str):
     """ASOF backward join: each event gains the customer's most recent order
     at event time (an operator Ray Data lacks — co-bucketed single-shuffle
-    polars join_asof, stages/join.py). The right side is deduplicated to one
-    row per (custkey, orderdate) — max orderkey wins — so the nearest-match
-    is deterministic on both engines."""
+    polars join_asof, stages/join.py). The right side must be unique per
+    (custkey, orderdate) — max orderkey wins. ``prep_orders`` is only a
+    per-batch PARTIAL combiner (duplicates spanning batches survive it), so
+    the join itself enforces global uniqueness per bucket via
+    ``right_dedup=["o_orderkey"]`` (ADVICE r02)."""
     import polars as pl
 
     from qwen_ocr_ray.stages.join import bucketed_asof_join
@@ -1503,7 +1523,8 @@ def q_events_asof_order(sf_dir: str):
             ]
         ),
         right_schema=right_schema,
-        num_buckets=16,
+        num_buckets=_auto_buckets(sf_dir, "events"),
+        right_dedup=["o_orderkey"],
     )
 
 
@@ -1525,14 +1546,13 @@ ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_date
 def q_ann_ivf_full(sf_dir: str):
     """IVF top-k probing ALL cells: must equal brute force exactly (the
     machinery-correctness complement to the approximate ann_ivf_topk)."""
-    from qwen_ocr_ray.stages.similarity import ivf_topk, kmeans_centroids, _normalize
+    from qwen_ocr_ray.stages.similarity import (
+        _normalize, ivf_topk, kmeans_centroids, load_query_vector, sample_embeddings,
+    )
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    mat = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
-    ids = emb["vec_id"].to_pylist()
-    query = mat[ids.index(0)]
-    centroids = kmeans_centroids(mat, k=16)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    query = _normalize(load_query_vector(path, 0)[None, :])[0]
+    centroids = kmeans_centroids(_normalize(sample_embeddings(path)), k=16)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, query, k=6, centroids=centroids, nprobe=len(centroids))
     return out.map_batches(

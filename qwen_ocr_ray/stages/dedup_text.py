@@ -167,8 +167,11 @@ def _verify_band_group(
     signature get STAR edges to the group's min id (est 1.0, O(g); downstream
     connected-components recovers the clique); (2) pairwise-verify only the
     DISTINCT signatures, and if those still exceed ``max_group``, split them
-    into secondary-hash chunks verified independently (cross-chunk pairs are
-    usually recovered via the document's other bands)."""
+    into secondary-hash chunks verified independently, then cross-verify the
+    chunks' representatives (min id per chunk) against each other — an
+    O(n_chunks^2) pass that restores a deterministic connectivity path
+    between chunks, so cross-chunk near-dups no longer rely solely on the
+    documents' other bands (ADVICE r02)."""
     import zlib
 
     by_sig: dict[bytes, list[int]] = {}
@@ -205,6 +208,25 @@ def _verify_band_group(
                 if pair in out:
                     continue
                 sy = np.frombuffer(chunk[y][0], dtype=np.uint64)
+                e = estimate_jaccard(sx, sy)
+                if e >= threshold:
+                    out.add(pair)
+                    est[pair] = e
+    if n_chunks > 1:
+        # cross-chunk bridge: verify chunk representatives (min id each)
+        # against each other so a near-dup split across chunks still gets
+        # an edge into the component
+        bridges = [min(c, key=lambda sr: sr[1]) for c in chunks if c]
+        for x in range(len(bridges)):
+            sx = np.frombuffer(bridges[x][0], dtype=np.uint64)
+            for y in range(x + 1, len(bridges)):
+                a, b = bridges[x][1], bridges[y][1]
+                if a == b:
+                    continue
+                pair = (min(a, b), max(a, b))
+                if pair in out:
+                    continue
+                sy = np.frombuffer(bridges[y][0], dtype=np.uint64)
                 e = estimate_jaccard(sx, sy)
                 if e >= threshold:
                     out.add(pair)

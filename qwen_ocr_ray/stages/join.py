@@ -128,13 +128,19 @@ def bucketed_asof_join(
     right_schema: pa.Schema,
     approx_rows: int | None = None,
     num_buckets: int | None = None,
+    right_dedup: list[str] | None = None,
 ):
     """Backward as-of LEFT join: each left row gains the right row with the
     greatest ``right_time`` <= ``left_time`` for the same ``key`` (null
     columns when none exists).
 
-    Determinism requires the right side to be unique per (key, time); the
-    caller pre-deduplicates (e.g. keep the max-id row per key+time).
+    Determinism requires the right side to be unique per (key, time).
+    Pass ``right_dedup=[tie_cols...]`` to have the join enforce that
+    GLOBALLY per bucket: rows sharing (key, time) keep the one with the
+    greatest tie columns. A caller-side per-batch dedup is only a partial
+    combiner (batches split duplicates across map tasks), so without this
+    the surviving duplicate would depend on Ray's nondeterministic block
+    concat order inside map_groups.
     Output columns: left columns, then right columns minus key and time.
     """
     b = num_buckets or pick_num_buckets(approx_rows)
@@ -169,7 +175,15 @@ def bucketed_asof_join(
             [key, right_time, *rnames]
         )
         lf = pl.from_arrow(lt).sort(left_time)
-        rf = pl.from_arrow(rt).sort(right_time)
+        rf = pl.from_arrow(rt)
+        if right_dedup:
+            # global (key, time) uniqueness: greatest tie columns win — the
+            # bucket holds ALL rows of its keys, so this is exact, unlike a
+            # per-batch combiner upstream
+            rf = rf.sort([key, right_time, *right_dedup]).unique(
+                subset=[key, right_time], keep="last", maintain_order=True
+            )
+        rf = rf.sort(right_time)
         joined = lf.join_asof(
             rf,
             left_on=left_time,

@@ -443,3 +443,33 @@ class TestConnectedComponents:
         # docs 0, 100, 101 form one cluster; 1, 102 another
         assert got[0] == got[100] == got[101] == 0
         assert got[1] == got[102] == 1
+
+
+class TestAnnDriverReads:
+    """VERDICT r02 #2: the ANN query/centroid acquisition must be bounded —
+    a single predicate-pushdown row for the query vector, and a fixed-size
+    leading sample (never the corpus) for centroid training."""
+
+    PATH = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def test_query_vector_predicate_read(self):
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.stages.similarity import load_query_vector
+
+        full = pq.read_table(self.PATH, columns=["vec_id", "embedding"])
+        ids = full["vec_id"].to_pylist()
+        want = np.asarray(full["embedding"][ids.index(0)].as_py(), dtype=np.float64)
+        got = load_query_vector(self.PATH, 0)
+        np.testing.assert_array_equal(got, want)
+        with pytest.raises(ValueError):
+            load_query_vector(self.PATH, -10**9)
+
+    def test_centroid_sample_is_bounded_and_deterministic(self):
+        from qwen_ocr_ray.stages.similarity import kmeans_centroids, sample_embeddings, _normalize
+
+        s16 = sample_embeddings(self.PATH, n=16)
+        assert s16.shape[0] == 16  # bounded regardless of corpus size
+        np.testing.assert_array_equal(s16, sample_embeddings(self.PATH, n=16))
+        cents = kmeans_centroids(_normalize(s16), k=4)
+        np.testing.assert_array_equal(cents, kmeans_centroids(_normalize(s16), k=4))
