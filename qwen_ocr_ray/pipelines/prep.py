@@ -7,6 +7,9 @@ operator this engine already ships, chained as one lazy Dataset graph:
       -> quality filter   (token count / lexical diversity / stopword score)
       -> language filter  (keep a requested language set, heuristic-verified)
       -> exact content dedup (post-extraction text collisions)
+      -> NEAR-dup dedup   (MinHash-LSH pairs on extracted text, keyed on url;
+                           greedy one-representative-per-cluster filter via a
+                           distributed anti-join)
       -> training rows {url, lang, text, n_tokens, quality}
 
 Demonstrates that a user of the reference tool could run their whole
@@ -31,6 +34,8 @@ def run_training_prep(
     languages: tuple[str, ...] = ("en",),
     min_tokens: int = 10,
     min_quality: float = 0.2,
+    near_dedup: bool = True,
+    near_threshold: float = 0.5,
 ):
     extracted = run_extraction(
         pages_path, cfg, routed_dir=routed_dir, approx_rows=approx_rows
@@ -67,4 +72,24 @@ def run_training_prep(
     )
     # post-extraction exact dedup keyed on content (url dedup already done in
     # phase A; this collapses distinct urls with identical extracted text)
-    return dedup_exact_text(filtered, id_col="url", text_col="text")
+    deduped = dedup_exact_text(filtered, id_col="url", text_col="text")
+    if not near_dedup:
+        return deduped
+    # Near-dup stage (VERDICT r02 #4): MinHash-LSH pairs on the extracted
+    # text, then keep one representative per cluster (greedy: drop every url
+    # appearing as the larger pair member) via the distributed anti-join.
+    # Materialize the exact-deduped rows first: they are the FILTERED
+    # text-only survivors (payload columns long gone), and three consumers
+    # read them (pair mining, the anti-join row side, and the caller) — at
+    # 100 TB this bounded intermediate belongs in the object store, not
+    # re-extracted three times.
+    from qwen_ocr_ray.stages.dedup_text import minhash_lsh_pairs
+    from qwen_ocr_ray.stages.similarity import near_dup_representatives
+
+    deduped = deduped.materialize()
+    pairs = minhash_lsh_pairs(
+        deduped, threshold=near_threshold, id_col="url", text_col="text"
+    )
+    return near_dup_representatives(
+        deduped, pairs, id_col="url", strategy="join"
+    )

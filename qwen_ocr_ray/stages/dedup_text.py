@@ -128,7 +128,9 @@ def dedup_exact_text(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # --- minhash + LSH ------------------------------------------------------------
 
 def minhash_explode_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Doc rows -> (band_id, band_key, doc_id, signature) rows (NUM_BANDS per doc)."""
+    """Doc rows -> (band_id, band_key, doc_id, signature) rows (NUM_BANDS per
+    doc). The id column keeps its input type (int keys for the documents
+    table, url strings for the composed curation pipeline)."""
     ids = t[id_col].to_pylist()
     texts = t[text_col].to_pylist()
     out_band, out_key, out_id, out_sig = [], [], [], []
@@ -144,7 +146,7 @@ def minhash_explode_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "
         {
             "band_id": pa.array(out_band, pa.int32()),
             "band_key": pa.array(out_key, pa.int64()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "doc_id": pa.array(out_id, t[id_col].type),
             "signature": pa.array(out_sig, pa.binary()),
         }
     )
@@ -153,6 +155,12 @@ def minhash_explode_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "
 PAIRS_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float32())]
 )
+
+
+def pairs_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [("doc_a", id_type), ("doc_b", id_type), ("est_jaccard", pa.float32())]
+    )
 
 
 def _verify_band_group(
@@ -242,8 +250,9 @@ def candidate_pairs_in_bucket(
     candidate; verification = signature-agreement Jaccard estimate (the
     signatures travel with the rows, so no second fetch of the corpus).
     Oversized groups go through the hot-band guard (_verify_band_group)."""
+    schema = pairs_schema(t["doc_id"].type)
     if t.num_rows == 0:
-        return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
+        return pa.table({n: [] for n in schema.names}, schema=schema)
     t = t.combine_chunks()
     idx = pc.sort_indices(
         t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
@@ -266,11 +275,11 @@ def candidate_pairs_in_bucket(
     pairs = sorted(out)
     return pa.table(
         {
-            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "doc_a": pa.array([p[0] for p in pairs], schema.field("doc_a").type),
+            "doc_b": pa.array([p[1] for p in pairs], schema.field("doc_b").type),
             "est_jaccard": pa.array([np.float32(round(est[p], 4)) for p in pairs], pa.float32()),
         },
-        schema=PAIRS_SCHEMA,
+        schema=schema,
     )
 
 

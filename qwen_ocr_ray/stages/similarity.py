@@ -310,9 +310,11 @@ def near_dup_representatives(ds, pairs_ds, *, id_col: str = "vec_id",
         marker = "__drop"
 
         def prep_drops(t: pa.Table) -> pa.Table:
+            # keep the pair id type as-is (int vec ids or url strings) so the
+            # anti-join's is_in matches the row side's id column
             out = pa.table(
                 {
-                    id_col: pc.cast(t[b_col(t)], pa.int64()),
+                    id_col: t[b_col(t)],
                     marker: pa.array([True] * t.num_rows, pa.bool_()),
                 }
             )

@@ -163,3 +163,46 @@ def test_training_prep_composition(synth):
     assert (out.quality >= 0.1).all()
     assert not out.url.duplicated().any()
     assert not out.text.duplicated().any()  # exact content dedup applied
+
+
+def test_training_prep_near_dup_stage(ray_session, tmp_path):
+    """Planted near-duplicate e2e (VERDICT r02 #4): two html docs whose texts
+    differ by a few words collapse to ONE training row when near_dedup is on,
+    and survive as two when it is off."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from qwen_ocr_ray.pipelines.prep import run_training_prep
+    from qwen_ocr_ray.sources.synth_pages import _mix, SEED, generate_pages_table
+
+    # pick html-kind doc ids (kind roll < 86) deterministically
+    html_ids = [i for i in range(200) if _mix(SEED, i) % 100 < 86]
+    base = " ".join(f"training corpus word{w % 37} alpha beta" for w in range(120))
+    near = base.replace("word3 ", "word998 ").replace("word7 ", "word999 ")
+    distinct = " ".join(f"unrelated other text token{w * 13 % 91}" for w in range(120))
+    ids = html_ids[:3]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([base, near, distinct], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+        }
+    )
+    pages, _ = generate_pages_table(docs)
+    p = str(tmp_path / "pages.parquet")
+    pq_.write_table(pages, p)
+
+    kw = dict(approx_rows=3, languages=("en",), min_tokens=5, min_quality=0.0)
+    both = run_training_prep(
+        p, routed_dir=str(tmp_path / "r1"), near_dedup=False, **kw
+    ).to_pandas()
+    assert len(both) == 3
+    kept = run_training_prep(
+        p, routed_dir=str(tmp_path / "r2"), near_threshold=0.5, **kw
+    ).to_pandas()
+    assert len(kept) == 2
+    dropped = set(both.url) - set(kept.url)
+    assert len(dropped) == 1
+    # the unrelated doc always survives; the dropped url is one of the pair
+    assert f"/articles/{ids[2]}" in "".join(kept.url)
+    assert any(f"/articles/{i}" in d for d in dropped for i in ids[:2])
