@@ -59,9 +59,11 @@ def oracle_sql() -> dict[str, str]:
     runs before the matching query.
     """
     from qwen_ocr_ray.pipelines.queries import ORACLE
+    from qwen_ocr_ray.sources.oracle_sidecars import ensure_oracle_sidecars
     from qwen_ocr_ray.sources.synth_media import ensure_media_dataset
     from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
 
     ensure_pages_dataset("/root/testdata/sf0.01")
     ensure_media_dataset("/root/testdata/sf0.01")
+    ensure_oracle_sidecars("/root/testdata/sf0.01")
     return dict(ORACLE)

@@ -1106,8 +1106,15 @@ def _sf01_media_tag() -> str:
     return media_tag("/root/testdata/sf0.01")
 
 
+def _sf01_oracle_tag() -> str:
+    from qwen_ocr_ray.sources.oracle_sidecars import oracle_tag
+
+    return oracle_tag("/root/testdata/sf0.01")
+
+
 _PAGES01 = f"/tmp/qor_pages/{_sf01_tag()}"
 _MEDIA01 = f"/tmp/qor_media/{_sf01_media_tag()}"
+_ORACLE01 = f"/tmp/qor_oracle/{_sf01_oracle_tag()}"
 
 
 def q_extract_text(sf_dir: str):
@@ -1593,5 +1600,103 @@ ORACLE.update(
         "media_video_frames": SQL_MEDIA_VIDEO_FRAMES,
         "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
         "media_image_resize": SQL_MEDIA_IMAGE_RESIZE,
+    }
+)
+
+
+# --- sidecar oracles for the formerly rows-only queries ------------------------
+#
+# Expected tables are computed single-process by sources/oracle_sidecars.py
+# (same pure kernels, disjoint orchestration — the hash match certifies the
+# distributed plumbing; connected components uses an independent union-find).
+# __ray_entry__.oracle_sql() materializes the sf0.01 cache; the conformance
+# test rewrites the paths for its own sf.
+
+SQL_EXTRACT_PAGES = f"""
+SELECT g.url, g.kind, g.text, LENGTH(g.text) AS n_chars, p.lang
+FROM read_parquet('{_PAGES01}/golden.parquet') g
+JOIN (SELECT url, MIN(lang) AS lang
+      FROM read_parquet('{_PAGES01}/pages.parquet') GROUP BY url) p
+  USING (url)
+"""
+
+SQL_MINHASH_PAIRS = f"""
+SELECT doc_a, doc_b, est_jaccard
+FROM read_parquet('{_ORACLE01}/minhash_pairs.parquet')
+"""
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+SELECT doc_a, doc_b, est_jaccard
+FROM read_parquet('{_ORACLE01}/ngram_pairs.parquet')
+"""
+
+SQL_SIMHASH_DOCS = f"""
+SELECT doc_id, simhash FROM read_parquet('{_ORACLE01}/simhash_docs.parquet')
+"""
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+SELECT doc_a, doc_b, hamming
+FROM read_parquet('{_ORACLE01}/simhash_pairs.parquet')
+"""
+
+SQL_EMBEDDING_NEAR_DUP_LSH = f"""
+SELECT vec_a, vec_b, score
+FROM read_parquet('{_ORACLE01}/lsh_embed_pairs.parquet')
+"""
+
+SQL_EMBEDDING_DEDUP_FILTER = f"""
+SELECT vec_id FROM read_parquet('{_ORACLE01}/embed_dedup_kept.parquet')
+"""
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+SELECT node, component
+FROM read_parquet('{_ORACLE01}/near_dup_clusters.parquet')
+"""
+
+SQL_LANG_ID = f"""
+SELECT doc_id, lang, pred_lang
+FROM read_parquet('{_ORACLE01}/lang_quality.parquet')
+"""
+
+SQL_QUALITY_SCORES = f"""
+SELECT doc_id, quality, stopword_ratio, bpe_tokens, n_fingerprints
+FROM read_parquet('{_ORACLE01}/lang_quality.parquet')
+"""
+
+SQL_EXTRACT_FIGURES = f"""
+SELECT url, page_num, fig_number, fig_seq, element_type,
+       x1, y1, x2, y2, area_frac, width, height
+FROM read_parquet('{_ORACLE01}/figures.parquet')
+"""
+
+SQL_TRAINING_PREP = f"""
+SELECT url, lang, pred_lang, n_tokens, quality
+FROM read_parquet('{_ORACLE01}/training_prep.parquet')
+"""
+
+SQL_ANN_IVF_TOPK = f"""
+SELECT vec_id, score FROM read_parquet('{_ORACLE01}/ann_ivf_topk.parquet')
+"""
+
+SQL_DOMAIN_PARTITIONS = f"""
+SELECT part, n_rows FROM read_parquet('{_ORACLE01}/domain_partitions.parquet')
+"""
+
+ORACLE.update(
+    {
+        "extract_pages": SQL_EXTRACT_PAGES,
+        "minhash_pairs": SQL_MINHASH_PAIRS,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "simhash_docs": SQL_SIMHASH_DOCS,
+        "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+        "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
+        "embedding_dedup_filter": SQL_EMBEDDING_DEDUP_FILTER,
+        "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+        "lang_id": SQL_LANG_ID,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "extract_figures": SQL_EXTRACT_FIGURES,
+        "training_prep": SQL_TRAINING_PREP,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "domain_partitions": SQL_DOMAIN_PARTITIONS,
     }
 )

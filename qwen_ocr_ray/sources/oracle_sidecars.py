@@ -1,0 +1,350 @@
+"""Deterministic oracle sidecars for the non-SQL-expressible queries.
+
+The driver's correctness gate can only compare a Ray result against DuckDB
+SQL — so for sketch/heuristic operators (MinHash, SimHash, LSH, stub-VLM
+figures, composed curation) we materialize an EXPECTED table computed
+single-process (plain pyarrow/numpy over the parquet inputs, no Ray), and
+the oracle SQL is a ``read_parquet('<sidecar>')`` SELECT. This follows the
+round-2 pattern established for the media features and the extraction golden
+(VERDICT r02 next-round #1).
+
+What the check proves: the sketching KERNELS are shared with the pipeline
+(deliberately — they are unit/property-tested separately), but the
+ORCHESTRATION is disjoint: here every operator runs as one in-process pass
+over one table, while the pipeline runs banded explodes, hash-bucketed
+shuffles, distributed anti-joins and label propagation over many blocks. A
+hash match therefore certifies the distributed plumbing — block splits,
+shuffle completeness, per-bucket group boundaries, dedup-across-buckets,
+union ordering — byte-for-byte. Connected components additionally uses an
+INDEPENDENT algorithm (union-find here vs pointer-jumping label propagation
+in stages/clusters.py).
+
+Cache layout (CLAUDE.md "Caches"): /tmp/qor_oracle/<sf>_v<pages>_o<N>/ with
+one parquet per query plus a _SUCCESS marker; atomic tmp+rename writes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ORACLE_VERSION = 1
+
+
+def oracle_tag(sf_dir: str) -> str:
+    from qwen_ocr_ray.sources.synth_pages import GEN_VERSION
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"{base}_v{GEN_VERSION}_o{ORACLE_VERSION}"
+
+
+# --- per-operator expected tables (single-process) ----------------------------
+
+def _docs(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+
+
+def _emb(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def expected_simhash_docs(docs: pa.Table) -> pa.Table:
+    from qwen_ocr_ray.stages.dedup_text import simhash_batch
+
+    return simhash_batch(docs.select(["doc_id", "text"]))
+
+
+def expected_minhash_pairs(docs: pa.Table, threshold: float = 0.5) -> pa.Table:
+    from qwen_ocr_ray.stages.dedup_text import (
+        candidate_pairs_in_bucket, minhash_explode_batch,
+    )
+
+    # ONE logical bucket holding every (band, key) group == the union of the
+    # pipeline's per-bucket outputs after its first-per-pair dedup (the pair
+    # estimate depends only on the two full signatures, never on which band
+    # or bucket discovered it)
+    return candidate_pairs_in_bucket(
+        minhash_explode_batch(docs.select(["doc_id", "text"])), threshold
+    )
+
+
+def expected_ngram_pairs(docs: pa.Table, threshold: float = 0.5) -> pa.Table:
+    from qwen_ocr_ray.stages.dedup_text import ngram_explode_batch, ngram_verify_in_bucket
+
+    return ngram_verify_in_bucket(
+        ngram_explode_batch(docs.select(["doc_id", "text"])), threshold
+    )
+
+
+def expected_simhash_pairs(docs: pa.Table, max_hamming: int = 3) -> pa.Table:
+    from qwen_ocr_ray.stages.dedup_text import (
+        simhash_explode_banded, simhash_pairs_in_bucket,
+    )
+
+    return simhash_pairs_in_bucket(
+        simhash_explode_banded(docs.select(["doc_id", "text"])), max_hamming
+    )
+
+
+def expected_lsh_embed_pairs(emb: pa.Table, threshold: float = 0.4) -> pa.Table:
+    from qwen_ocr_ray.stages.similarity import lsh_explode_batch, lsh_verify_in_bucket
+
+    return lsh_verify_in_bucket(lsh_explode_batch(emb), threshold)
+
+
+def expected_embed_dedup_kept(emb: pa.Table, pairs: pa.Table) -> pa.Table:
+    # greedy representative rule (stages/similarity.near_dup_representatives):
+    # drop every id appearing as the LARGER member of a near-dup pair
+    dropped = set(pairs["vec_b"].to_pylist())
+    keep = [v for v in emb["vec_id"].to_pylist() if v not in dropped]
+    return pa.table({"vec_id": pa.array(keep, pa.int64())})
+
+
+def expected_clusters(pairs: pa.Table) -> pa.Table:
+    """Union-find (path compression) — an INDEPENDENT algorithm from the
+    pipeline's label propagation; component = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
+def expected_lang_quality(docs: pa.Table) -> pa.Table:
+    """Expectation columns for lang_id AND quality_scores (one sidecar)."""
+    from qwen_ocr_ray.functions.text_stats import (
+        bpe_ish_token_count, lang_id, quality_score, rolling_fingerprints,
+        stopword_ratio,
+    )
+
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": docs["doc_id"],
+            "lang": docs["lang"],
+            "pred_lang": pa.array([lang_id(s) for s in texts], pa.string()),
+            "quality": pa.array(
+                [np.float32(quality_score(s, l)) for s, l in zip(texts, langs)],
+                pa.float32(),
+            ),
+            "stopword_ratio": pa.array(
+                [np.float32(round(stopword_ratio(s, l), 4)) for s, l in zip(texts, langs)],
+                pa.float32(),
+            ),
+            "bpe_tokens": pa.array([bpe_ish_token_count(s) for s in texts], pa.int64()),
+            "n_fingerprints": pa.array(
+                [len(rolling_fingerprints(s)) for s in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def expected_figures(pages_path: str) -> pa.Table:
+    """Mirror of the figures pipeline, single-process: route pages-kind rows,
+    explode -> optimize -> stub-detect -> area-filter -> crop via the SAME
+    pure table kernels the Ray stages call (no Ray)."""
+    from qwen_ocr_ray.config import DEFAULT_CONFIG
+    from qwen_ocr_ray.stages.figures import ExtractFigures
+    from qwen_ocr_ray.stages.pages_branch import explode_pages, optimize_pages_batch
+    from qwen_ocr_ray.stages.route import add_kind_column
+
+    t = pq.read_table(pages_path)
+    t = add_kind_column(t)
+    t = t.filter(pc.equal(t["kind"], "pages"))
+    pages = optimize_pages_batch(explode_pages(t, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    figs = ExtractFigures(DEFAULT_CONFIG)(pages)
+    return figs.select(
+        ["url", "page_num", "fig_number", "fig_seq", "element_type",
+         "x1", "y1", "x2", "y2", "area_frac", "width", "height"]
+    )
+
+
+def expected_training_prep(
+    pages_path: str, golden_path: str, *,
+    languages: tuple[str, ...] = ("en",), min_tokens: int = 10,
+    min_quality: float = 0.2, near_threshold: float = 0.5,
+) -> pa.Table:
+    """Mirror of run_training_prep over the golden table: quality/lang
+    filter -> exact dedup (min url per md5(text)) -> near-dup drop (larger
+    member of any MinHash pair)."""
+    from qwen_ocr_ray.functions.text_stats import lang_id, quality_score
+    from qwen_ocr_ray.stages.dedup_text import (
+        candidate_pairs_in_bucket, minhash_explode_batch,
+    )
+
+    golden = pq.read_table(golden_path)
+    lang_by_url: dict[str, str] = {}
+    p = pq.read_table(pages_path, columns=["url", "lang"])
+    for u, l in zip(p["url"].to_pylist(), p["lang"].to_pylist()):
+        lang_by_url.setdefault(u, l)
+
+    rows = []  # (url, lang, pred_lang, text, n_tokens, quality)
+    for url, text in zip(golden["url"].to_pylist(), golden["text"].to_pylist()):
+        lang = lang_by_url[url]
+        toks = len(text.split())
+        q = quality_score(text, lang)
+        if toks >= min_tokens and q >= min_quality and lang in languages:
+            rows.append((url, lang, lang_id(text), text, toks, q))
+
+    # exact content dedup: lexicographically smallest url per fingerprint
+    win: dict[str, str] = {}
+    for r in rows:
+        fp = hashlib.md5(r[3].encode()).hexdigest()
+        if fp not in win or r[0] < win[fp]:
+            win[fp] = r[0]
+    kept = [r for r in rows if win[hashlib.md5(r[3].encode()).hexdigest()] == r[0]]
+
+    # near-dup drop: larger url of any MinHash-LSH pair over the kept rows
+    kt = pa.table(
+        {
+            "url": pa.array([r[0] for r in kept], pa.string()),
+            "text": pa.array([r[3] for r in kept], pa.string()),
+        }
+    )
+    pairs = candidate_pairs_in_bucket(
+        minhash_explode_batch(kt, id_col="url"), near_threshold
+    )
+    dropped = set(pairs["doc_b"].to_pylist())
+    final = [r for r in kept if r[0] not in dropped]
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in final], pa.string()),
+            "lang": pa.array([r[1] for r in final], pa.string()),
+            "pred_lang": pa.array([r[2] for r in final], pa.string()),
+            "n_tokens": pa.array([r[4] for r in final], pa.int64()),
+            "quality": pa.array([np.float32(r[5]) for r in final], pa.float32()),
+        }
+    )
+
+
+def expected_ann_ivf_topk(sf_dir: str, *, k: int = 6, nprobe: int = 3) -> pa.Table:
+    """Mirror of q_ann_ivf_topk: same bounded query/centroid acquisition,
+    then one in-process scan instead of the distributed score stage."""
+    from qwen_ocr_ray.stages.similarity import (
+        _normalize, kmeans_centroids, load_query_vector, sample_embeddings,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    query = _normalize(load_query_vector(path, 0)[None, :])[0]
+    centroids = kmeans_centroids(_normalize(sample_embeddings(path)), k=16)
+    probe = set(int(c) for c in np.argsort(centroids @ query)[::-1][:nprobe])
+
+    emb = _emb(sf_dir)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m = _normalize(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
+    assign = (m @ centroids.T).argmax(axis=1)
+    mask = np.isin(assign, list(probe))
+    sel_ids = ids[mask]
+    scores = np.round(m[mask] @ query, 6).astype(np.float32)
+    order = sorted(zip(scores.tolist(), sel_ids.tolist()), key=lambda p: (-p[0], p[1]))
+    top = [(s, i) for s, i in order[:k] if i != 0]
+    return pa.table(
+        {
+            "vec_id": pa.array([i for _, i in top], pa.int64()),
+            "score": pa.array([np.float32(s) for s, _ in top], pa.float32()),
+        }
+    )
+
+
+def expected_domain_partitions(pages_path: str, *, hot_fraction: float = 0.05) -> pa.Table:
+    """Mirror of partition_histogram via the same pure helpers, one pass."""
+    from qwen_ocr_ray.stages.bucketing import hash_bucket_ids
+    from qwen_ocr_ray.stages.skew import add_domain_column
+
+    t = pq.read_table(pages_path, columns=["url"])
+    total = t.num_rows
+    t = add_domain_column(t)
+    counts = t.group_by(["domain"]).aggregate([("domain", "count")])
+    threshold = max(1, int(hot_fraction * total))
+    hot = {
+        d: max(1, math.ceil((n / total) / hot_fraction))
+        for d, n in zip(
+            counts["domain"].to_pylist(), counts["domain_count"].to_pylist()
+        )
+        if n >= threshold
+    }
+    dom = t["domain"]
+    salt = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+    if hot:
+        raw = pc.cast(hash_bucket_ids(t["url"], 1 << 16), pa.int64())
+        for d, m in hot.items():
+            mod = pc.subtract(raw, pc.multiply(pc.divide(raw, m), m))
+            salt = pc.if_else(pc.equal(dom, d), mod, salt)
+    parts = pc.binary_join_element_wise(dom, pc.cast(salt, pa.string()), "#")
+    g = (
+        pa.table({"part": parts})
+        .group_by(["part"])
+        .aggregate([("part", "count")])
+        .rename_columns(["part", "n_rows"])
+    )
+    return g.set_column(1, "n_rows", pc.cast(g["n_rows"], pa.int64()))
+
+
+# --- cache driver -------------------------------------------------------------
+
+def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> str:
+    """Generate-and-cache every expected table for ``sf_dir``; returns the
+    cache dir. Atomic per-file writes + a _SUCCESS marker; concurrent callers
+    are safe (os.replace)."""
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    out_dir = os.path.join(cache_root, oracle_tag(sf_dir))
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    pages_path, golden_path = ensure_pages_dataset(sf_dir)
+    docs = _docs(sf_dir)
+    emb = _emb(sf_dir)
+    lsh_pairs = expected_lsh_embed_pairs(emb)
+    minhash = expected_minhash_pairs(docs)
+    tables = {
+        "simhash_docs.parquet": expected_simhash_docs(docs),
+        "minhash_pairs.parquet": minhash,
+        "ngram_pairs.parquet": expected_ngram_pairs(docs),
+        "simhash_pairs.parquet": expected_simhash_pairs(docs),
+        "lsh_embed_pairs.parquet": lsh_pairs,
+        "embed_dedup_kept.parquet": expected_embed_dedup_kept(emb, lsh_pairs),
+        "near_dup_clusters.parquet": expected_clusters(minhash),
+        "lang_quality.parquet": expected_lang_quality(docs),
+        "figures.parquet": expected_figures(pages_path),
+        "training_prep.parquet": expected_training_prep(pages_path, golden_path),
+        "ann_ivf_topk.parquet": expected_ann_ivf_topk(sf_dir),
+        "domain_partitions.parquet": expected_domain_partitions(pages_path),
+    }
+    for name, table in tables.items():
+        path = os.path.join(out_dir, name)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp, row_group_size=1024)
+        os.replace(tmp, path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

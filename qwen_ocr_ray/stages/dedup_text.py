@@ -342,28 +342,72 @@ def simhash_docs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(lambda t: simhash_batch(t, id_col, text_col), batch_format="pyarrow")
 
 
+def simhash_explode_banded(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Doc rows -> 4 banded (doc_id, band_id, band_key, sig) rows per doc."""
+    ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
+    out_id, out_band, out_key, out_sig = [], [], [], []
+    for i, text in zip(ids, texts):
+        sig = simhash64(text)
+        for band_id, key in enumerate(simhash_band_keys(sig, 4)):
+            out_id.append(i)
+            out_band.append(band_id)
+            out_key.append(key)
+            out_sig.append(sig - (1 << 63))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "sig": pa.array(out_sig, pa.int64()),
+        }
+    )
+
+
+def simhash_pairs_in_bucket(t: pa.Table, max_hamming: int) -> pa.Table:
+    """One bucket of banded simhash rows -> verified pairs (hamming <= max).
+    Module-level so the oracle sidecar can run the IDENTICAL kernel over all
+    rows single-process (distributed-plumbing parity check)."""
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+    )
+    if t.num_rows == 0:
+        return pa.table({n: [] for n in schema.names}, schema=schema)
+    t = t.combine_chunks()
+    idx = pc.sort_indices(
+        t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
+    )
+    t = t.take(idx)
+    bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
+    ids, sigs = t["doc_id"].to_pylist(), t["sig"].to_pylist()
+    seen: dict[tuple[int, int], int] = {}
+    i, n = 0, len(ids)
+    while i < n:
+        j = i
+        while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+            j += 1
+        for x in range(i, j):
+            for y in range(x + 1, j):
+                if ids[x] == ids[y]:
+                    continue
+                d = hamming64((sigs[x] + (1 << 63)), (sigs[y] + (1 << 63)))
+                if d <= max_hamming:
+                    pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                    seen.setdefault(pair, d)
+        i = j
+    pairs = sorted(seen)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "hamming": pa.array([seen[p] for p in pairs], pa.int32()),
+        },
+        schema=schema,
+    )
+
+
 def simhash_near_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
                        text_col: str = "text", num_buckets: int = 16):
     """Pairs within Hamming distance <= max_hamming via 4-way band pigeonhole."""
-
-    def explode(t: pa.Table) -> pa.Table:
-        ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for i, text in zip(ids, texts):
-            sig = simhash64(text)
-            for band_id, key in enumerate(simhash_band_keys(sig, 4)):
-                out_id.append(i)
-                out_band.append(band_id)
-                out_key.append(key)
-                out_sig.append(sig - (1 << 63))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
-                "sig": pa.array(out_sig, pa.int64()),
-            }
-        )
 
     def bucket(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -371,49 +415,14 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
         )
         return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
 
-    def pairs_in_bucket(t: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
-        )
-        if t.num_rows == 0:
-            return pa.table({n: [] for n in schema.names}, schema=schema)
-        t = t.combine_chunks()
-        idx = pc.sort_indices(
-            t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
-        )
-        t = t.take(idx)
-        bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
-        ids, sigs = t["doc_id"].to_pylist(), t["sig"].to_pylist()
-        seen: dict[tuple[int, int], int] = {}
-        i, n = 0, len(ids)
-        while i < n:
-            j = i
-            while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
-                j += 1
-            for x in range(i, j):
-                for y in range(x + 1, j):
-                    if ids[x] == ids[y]:
-                        continue
-                    d = hamming64((sigs[x] + (1 << 63)), (sigs[y] + (1 << 63)))
-                    if d <= max_hamming:
-                        pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
-                        seen.setdefault(pair, d)
-            i = j
-        pairs = sorted(seen)
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-                "hamming": pa.array([seen[p] for p in pairs], pa.int32()),
-            },
-            schema=schema,
-        )
-
     pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(lambda t: simhash_explode_banded(t, id_col, text_col), batch_format="pyarrow")
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(lambda t: pairs_in_bucket(t.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_groups(
+            lambda t: simhash_pairs_in_bucket(t.drop_columns(["bucket"]), max_hamming),
+            batch_format="pyarrow",
+        )
     )
 
     def pair_key(t: pa.Table) -> pa.Table:
@@ -436,6 +445,73 @@ def simhash_near_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
 
 # --- bottom-k n-gram Jaccard ---------------------------------------------------
 
+def ngram_explode_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Doc rows -> banded rows carrying the bottom-k n-gram sketch."""
+    ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
+    out_band, out_key, out_id, out_sk = [], [], [], []
+    for i, text in zip(ids, texts):
+        sh = shingle_hashes(text)
+        sig = minhash_signature(sh, NUM_PERM)
+        sk = bottomk_sketch(sh, BOTTOM_K).tobytes()
+        for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
+            out_band.append(band_id)
+            out_key.append(key - (1 << 63))
+            out_id.append(i)
+            out_sk.append(sk)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "signature": pa.array(out_sk, pa.binary()),
+        }
+    )
+
+
+def ngram_verify_in_bucket(t: pa.Table, threshold: float) -> pa.Table:
+    """One bucket of banded bottom-k rows -> verified pairs. Module-level so
+    the oracle sidecar can run the IDENTICAL kernel single-process."""
+    if t.num_rows == 0:
+        return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
+    t = t.combine_chunks()
+    idx = pc.sort_indices(
+        t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
+    )
+    t = t.take(idx)
+    bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
+    ids, sks = t["doc_id"].to_pylist(), t["signature"].to_pylist()
+    out: dict[tuple[int, int], float] = {}
+    i, n = 0, len(ids)
+    while i < n:
+        j = i
+        while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+            j += 1
+        for x in range(i, j):
+            a = np.frombuffer(sks[x], dtype=np.uint64)
+            for y in range(x + 1, j):
+                if ids[x] == ids[y]:
+                    continue
+                pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+                if pair in out:
+                    continue
+                b = np.frombuffer(sks[y], dtype=np.uint64)
+                jac = jaccard_from_bottomk(a, b, BOTTOM_K)
+                if jac >= threshold:
+                    out[pair] = jac
+        i = j
+    pairs = sorted(out)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "est_jaccard": pa.array(
+                [np.float32(round(out[p], 4)) for p in pairs], pa.float32()
+            ),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
 def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, id_col: str = "doc_id",
                         text_col: str = "text", num_buckets: int = 32):
     """Near-dup pairs with Jaccard estimated from bottom-k n-gram sketches.
@@ -443,79 +519,20 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, id_col: str = "doc_id",
     Candidates come from MinHash banding (same recall); verification uses the
     bottom-k sketch (tighter estimator than signature agreement)."""
 
-    def explode(t: pa.Table) -> pa.Table:
-        ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
-        out_band, out_key, out_id, out_sk = [], [], [], []
-        for i, text in zip(ids, texts):
-            sh = shingle_hashes(text)
-            sig = minhash_signature(sh, NUM_PERM)
-            sk = bottomk_sketch(sh, BOTTOM_K).tobytes()
-            for band_id, key in enumerate(band_keys(sig, NUM_BANDS)):
-                out_band.append(band_id)
-                out_key.append(key - (1 << 63))
-                out_id.append(i)
-                out_sk.append(sk)
-        return pa.table(
-            {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
-                "doc_id": pa.array(out_id, pa.int64()),
-                "signature": pa.array(out_sk, pa.binary()),
-            }
-        )
-
     def bucket(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
             pc.cast(t["band_id"], pa.string()), pc.cast(t["band_key"], pa.string()), ":"
         )
         return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
-        t = t.combine_chunks()
-        idx = pc.sort_indices(
-            t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), ("doc_id", "ascending")]
-        )
-        t = t.take(idx)
-        bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
-        ids, sks = t["doc_id"].to_pylist(), t["signature"].to_pylist()
-        out: dict[tuple[int, int], float] = {}
-        i, n = 0, len(ids)
-        while i < n:
-            j = i
-            while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
-                j += 1
-            for x in range(i, j):
-                a = np.frombuffer(sks[x], dtype=np.uint64)
-                for y in range(x + 1, j):
-                    if ids[x] == ids[y]:
-                        continue
-                    pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
-                    if pair in out:
-                        continue
-                    b = np.frombuffer(sks[y], dtype=np.uint64)
-                    jac = jaccard_from_bottomk(a, b, BOTTOM_K)
-                    if jac >= threshold:
-                        out[pair] = jac
-            i = j
-        pairs = sorted(out)
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-                "est_jaccard": pa.array(
-                    [np.float32(round(out[p], 4)) for p in pairs], pa.float32()
-                ),
-            },
-            schema=PAIRS_SCHEMA,
-        )
-
     pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(lambda t: ngram_explode_batch(t, id_col, text_col), batch_format="pyarrow")
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(lambda t: verify(t.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_groups(
+            lambda t: ngram_verify_in_bucket(t.drop_columns(["bucket"]), threshold),
+            batch_format="pyarrow",
+        )
     )
 
     def pair_key(t: pa.Table) -> pa.Table:

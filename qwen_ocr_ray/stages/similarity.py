@@ -100,35 +100,82 @@ def hyperplane_signatures(m: np.ndarray, num_bits: int = 16, seed: int = 777) ->
     return (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
 
 
+def lsh_explode_batch(
+    t: pa.Table, *, id_col: str = "vec_id", num_bits: int = 16, num_bands: int = 4
+) -> pa.Table:
+    """Embedding rows -> banded (band_id, band_key, id, vec) rows."""
+    width = num_bits // num_bands
+    mask = (1 << width) - 1
+    ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    m = _normalize(_matrix(t))
+    sigs = hyperplane_signatures(m, num_bits)
+    out = {"band_id": [], "band_key": [], id_col: [], "vec": []}
+    vec_bytes = [row.astype(np.float32).tobytes() for row in m]
+    for band in range(num_bands):
+        keys = (sigs >> (band * width)) & mask
+        out["band_id"].extend([band] * len(ids))
+        out["band_key"].extend(keys.tolist())
+        out[id_col].extend(ids.tolist())
+        out["vec"].extend(vec_bytes)
+    return pa.table(
+        {
+            "band_id": pa.array(out["band_id"], pa.int32()),
+            "band_key": pa.array(out["band_key"], pa.int64()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "vec": pa.array(out["vec"], pa.binary()),
+        }
+    )
+
+
+def lsh_verify_in_bucket(t: pa.Table, threshold: float, *, id_col: str = "vec_id") -> pa.Table:
+    """One bucket of banded embedding rows -> exact-cosine-verified pairs.
+    Module-level so the oracle sidecar can run the IDENTICAL kernel
+    single-process (distributed-plumbing parity check)."""
+    if t.num_rows == 0:
+        return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
+    t = t.combine_chunks()
+    idx = pc.sort_indices(
+        t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
+    )
+    t = t.take(idx)
+    bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
+    ids, vecs = t[id_col].to_pylist(), t["vec"].to_pylist()
+    out: dict[tuple[int, int], float] = {}
+    i, n = 0, len(ids)
+    while i < n:
+        j = i
+        while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
+            j += 1
+        if j - i > 1:
+            group_ids = ids[i:j]
+            mat = np.frombuffer(b"".join(vecs[i:j]), dtype=np.float32).reshape(j - i, -1)
+            sims = mat.astype(np.float64) @ mat.astype(np.float64).T
+            for x in range(j - i):
+                for y in range(x + 1, j - i):
+                    if group_ids[x] == group_ids[y]:
+                        continue
+                    s = sims[x, y]
+                    if s >= threshold:
+                        pair = (min(group_ids[x], group_ids[y]), max(group_ids[x], group_ids[y]))
+                        out.setdefault(pair, round(float(s), 6))
+        i = j
+    pairs = sorted(out)
+    return pa.table(
+        {
+            "vec_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "vec_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "score": pa.array([np.float32(out[p]) for p in pairs], pa.float32()),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
 def lsh_near_pairs(
     ds, threshold: float, *, id_col: str = "vec_id", num_bits: int = 16,
     num_bands: int = 4, num_buckets: int = 16,
 ):
     """Approximate near-neighbour pairs: hyperplane LSH bands -> bucketed
     shuffle -> exact cosine verify inside each band bucket."""
-    width = num_bits // num_bands
-    mask = (1 << width) - 1
-
-    def explode(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        m = _normalize(_matrix(t))
-        sigs = hyperplane_signatures(m, num_bits)
-        out = {"band_id": [], "band_key": [], id_col: [], "vec": []}
-        vec_bytes = [row.astype(np.float32).tobytes() for row in m]
-        for band in range(num_bands):
-            keys = (sigs >> (band * width)) & mask
-            out["band_id"].extend([band] * len(ids))
-            out["band_key"].extend(keys.tolist())
-            out[id_col].extend(ids.tolist())
-            out["vec"].extend(vec_bytes)
-        return pa.table(
-            {
-                "band_id": pa.array(out["band_id"], pa.int32()),
-                "band_key": pa.array(out["band_key"], pa.int64()),
-                id_col: pa.array(out[id_col], pa.int64()),
-                "vec": pa.array(out["vec"], pa.binary()),
-            }
-        )
 
     def bucket(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
@@ -136,50 +183,17 @@ def lsh_near_pairs(
         )
         return add_bucket_column(t.append_column("bk", key), "bk", num_buckets).drop_columns(["bk"])
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
-        t = t.combine_chunks()
-        idx = pc.sort_indices(
-            t, sort_keys=[("band_id", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
-        )
-        t = t.take(idx)
-        bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
-        ids, vecs = t[id_col].to_pylist(), t["vec"].to_pylist()
-        out: dict[tuple[int, int], float] = {}
-        i, n = 0, len(ids)
-        while i < n:
-            j = i
-            while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
-                j += 1
-            if j - i > 1:
-                group_ids = ids[i:j]
-                mat = np.frombuffer(b"".join(vecs[i:j]), dtype=np.float32).reshape(j - i, -1)
-                sims = mat.astype(np.float64) @ mat.astype(np.float64).T
-                for x in range(j - i):
-                    for y in range(x + 1, j - i):
-                        if group_ids[x] == group_ids[y]:
-                            continue
-                        s = sims[x, y]
-                        if s >= threshold:
-                            pair = (min(group_ids[x], group_ids[y]), max(group_ids[x], group_ids[y]))
-                            out.setdefault(pair, round(float(s), 6))
-            i = j
-        pairs = sorted(out)
-        return pa.table(
-            {
-                "vec_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "vec_b": pa.array([p[1] for p in pairs], pa.int64()),
-                "score": pa.array([np.float32(out[p]) for p in pairs], pa.float32()),
-            },
-            schema=PAIRS_SCHEMA,
-        )
-
     pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: lsh_explode_batch(t, id_col=id_col, num_bits=num_bits, num_bands=num_bands),
+            batch_format="pyarrow",
+        )
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(lambda t: verify(t.drop_columns(["bucket"])), batch_format="pyarrow")
+        .map_groups(
+            lambda t: lsh_verify_in_bucket(t.drop_columns(["bucket"]), threshold, id_col=id_col),
+            batch_format="pyarrow",
+        )
     )
 
     def pair_key(t: pa.Table) -> pa.Table:

@@ -39,7 +39,10 @@ def oracle_for(name: str, sf_dir: str) -> str:
     sql = ORACLE[name]
     if "/tmp/qor_" not in sql:
         return sql
-    from qwen_ocr_ray.pipelines.queries import _sf01_media_tag, _sf01_tag
+    from qwen_ocr_ray.pipelines.queries import (
+        _sf01_media_tag, _sf01_oracle_tag, _sf01_tag,
+    )
+    from qwen_ocr_ray.sources.oracle_sidecars import ensure_oracle_sidecars, oracle_tag
     from qwen_ocr_ray.sources.synth_media import ensure_media_dataset, media_tag
     from qwen_ocr_ray.sources.synth_pages import GEN_VERSION, ensure_pages_dataset
 
@@ -50,6 +53,9 @@ def oracle_for(name: str, sf_dir: str) -> str:
     if "/tmp/qor_media/" in sql:
         ensure_media_dataset(sf_dir)
         sql = sql.replace(_sf01_media_tag(), media_tag(sf_dir))
+    if "/tmp/qor_oracle/" in sql:
+        ensure_oracle_sidecars(sf_dir)
+        sql = sql.replace(_sf01_oracle_tag(), oracle_tag(sf_dir))
     return sql
 
 
