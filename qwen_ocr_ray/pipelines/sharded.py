@@ -178,6 +178,35 @@ def _build_inline_shard_dataset(
     )
 
 
+def _pin_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import deterministically.
+
+    Ray's path resolution re-imports that module on EVERY read/write
+    (`ray/data/datasource/path_util.py:_is_http_filesystem`). When aiohttp is
+    absent the import fails each time, and CPython's failed-import cleanup
+    races under concurrent driver threads: a second thread can observe the
+    half-dead module and get an ImportError ("cannot import name
+    HTTPFileSystem") that Ray's ModuleNotFoundError handler doesn't catch.
+    Pin a sentinel module once so the import always succeeds; the sentinel
+    class matches no real filesystem, so ``_is_http_filesystem`` still
+    returns False for every local/pyarrow path."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except Exception:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: aiohttp absent, never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def run_sharded_extraction(
     pages_path: str,
     out_dir: str,
@@ -188,6 +217,7 @@ def run_sharded_extraction(
     backend: str = "stub",
     strategy: str = "checkpoint",
     row_groups_per_shard: int = 16,
+    shard_window: int = 3,
     fail_on_shard: str | None = None,  # test hook: simulate a mid-run crash
 ) -> dict:
     """Run (or resume) the full extraction; returns a summary dict.
@@ -198,7 +228,13 @@ def run_sharded_extraction(
     ``strategy="inline"`` (fast path, stub backend): shard the INPUT by
     (file, row-group range) — no checkpoint write at all; each shard runs
     the fused inline kernel with the broadcast global dedup winner map and
-    commits atomically through the same manifest protocol."""
+    commits atomically through the same manifest protocol.
+
+    ``shard_window`` shards execute CONCURRENTLY (driver threads, each
+    owning its own Dataset execution): a strictly sequential loop idles the
+    cluster in every shard's tail while its last tasks drain (VERDICT r02
+    #5). The window is bounded so shard working sets don't compound; the
+    manifest-last invariant is per shard and unaffected by overlap."""
     routed_dir = os.path.join(out_dir, "routed")
     manifest_dir = os.path.join(out_dir, "_manifest")
     shards_dir = os.path.join(out_dir, "shards")
@@ -223,17 +259,13 @@ def run_sharded_extraction(
         route_and_checkpoint(pages_path, routed_dir, cfg, approx_rows=approx_rows)
         plan = _shard_plan(routed_dir, files_per_shard)
     done, ran, failed = [], [], []
-    for shard in plan:
+    _pin_fsspec_http()
+
+    def run_shard(shard: dict) -> tuple[str, bool]:
+        """Build, execute and atomically commit ONE shard (runs in a driver
+        thread; every path it touches is shard-private)."""
         name = shard["shard"]
         mpath = os.path.join(manifest_dir, f"{name}.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                if json.load(f).get("status") == "done":
-                    done.append(name)
-                    continue
-        if fail_on_shard == name:
-            raise RuntimeError(f"simulated crash before shard {name}")
-
         final_dir = os.path.join(shards_dir, f"shard={name}")
         # stage OUTSIDE shards/ so a crash mid-write can never leave partial
         # parquet where read_extraction_output looks
@@ -249,6 +281,7 @@ def run_sharded_extraction(
             "status": "failed",
             "error": None,
         }
+        ok = False
         try:
             if strategy == "inline":
                 ds = _build_inline_shard_dataset(shard, cfg, win_ref, inline_buckets)
@@ -267,14 +300,39 @@ def run_sharded_extraction(
                 bytes_out=sum(os.path.getsize(os.path.join(final_dir, f)) for f in files),
                 wall_s=round(time.perf_counter() - t0, 3),
             )
-            ran.append(name)
+            ok = True
         except Exception as e:
             manifest["error"] = f"{type(e).__name__}: {e}"
-            failed.append(name)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, mpath)
+        return name, ok
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, shard_window)) as pool:
+        futures = []
+        crash = None
+        for shard in plan:
+            name = shard["shard"]
+            mpath = os.path.join(manifest_dir, f"{name}.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    if json.load(f).get("status") == "done":
+                        done.append(name)
+                        continue
+            if fail_on_shard == name:
+                # drain in-flight shards first so their manifests are durable
+                # (a real crash would lose only un-committed shards — same)
+                crash = name
+                break
+            futures.append(pool.submit(run_shard, shard))
+        for fut in futures:
+            name, ok = fut.result()
+            (ran if ok else failed).append(name)
+        if crash is not None:
+            raise RuntimeError(f"simulated crash before shard {crash}")
 
     return {
         "out_dir": out_dir,

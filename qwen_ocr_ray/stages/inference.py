@@ -35,6 +35,86 @@ class StubBackend:
         return stub_figures(page_num, image_bytes)
 
 
+def _ns(obj):
+    """JSON -> attribute-shaped objects (the subset of the openai client's
+    response surface this module reads)."""
+    from types import SimpleNamespace
+
+    if isinstance(obj, dict):
+        return SimpleNamespace(**{k: _ns(v) for k, v in obj.items()})
+    if isinstance(obj, list):
+        return [_ns(x) for x in obj]
+    return obj
+
+
+class _MiniChatCompletions:
+    def __init__(self, base_url: str, api_key: str, timeout: float = 600.0):
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def create(self, *, model, messages, stream: bool = False, **params):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        payload = {"model": model, "messages": messages}
+        if stream:
+            payload["stream"] = True
+        payload.update({k: v for k, v in params.items() if v is not None})
+        req = urllib.request.Request(
+            self.base_url + "/chat/completions",
+            data=_json.dumps(payload).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            method="POST",
+        )
+        try:
+            resp = urllib.request.urlopen(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:
+            body = e.read()[:200]
+            err = RuntimeError(f"HTTP {e.code}: {body!r}")
+            # same attribute the openai APIStatusError carries — the retry
+            # policy keys on it
+            err.status_code = e.code
+            raise err
+        if stream:
+            def events():
+                with resp:
+                    for line in resp:
+                        line = line.decode().strip()
+                        if not line.startswith("data:"):
+                            continue
+                        data = line[len("data:"):].strip()
+                        if data == "[DONE]":
+                            break
+                        yield _ns(_json.loads(data))
+
+            return events()
+        with resp:
+            return _ns(_json.loads(resp.read().decode()))
+
+
+class _MiniOpenAIClient:
+    """Pure-stdlib OpenAI-compatible chat client.
+
+    Fallback when the ``openai`` package is absent: implements exactly the
+    surface this module uses (``chat.completions.create`` with optional
+    ``stream`` / ``response_format``, HTTP errors carrying ``status_code``),
+    over urllib + server-sent-events parsing. This makes the live-backend
+    retry/stream/validation paths executable against any OpenAI-compatible
+    server — including the local test stub — with no third-party client."""
+
+    def __init__(self, base_url: str, api_key: str):
+        from types import SimpleNamespace
+
+        self.chat = SimpleNamespace(
+            completions=_MiniChatCompletions(base_url, api_key)
+        )
+
+
 TEXT_SYSTEM_PROMPT = (
     "You are a Document Digitization Engine converting document pages to "
     "Markdown. Output ONLY the raw Markdown for the pages, continuing "
@@ -54,9 +134,11 @@ class OpenAICompatBackend:
     in its config singleton, config.py:23-25); per-call retry follows the
     reference policy exactly: up to 3 attempts, backoff 2**attempt seconds,
     retry ONLY on HTTP status >= 400, anything else fatal
-    (document_job.py:132-161; config.py:56-58). In this sandbox the openai
-    package/network are absent, so construction raises NotImplementedError —
-    the Ray plumbing above it is identical for the stub backend.
+    (document_job.py:132-161; config.py:56-58). Uses the official ``openai``
+    client when installed; otherwise falls back to the pure-stdlib
+    ``_MiniOpenAIClient`` with the identical call surface — so the retry,
+    streaming-delta and JSON-validation paths run for real against any
+    OpenAI-compatible endpoint (tests drive them with a local HTTP stub).
     """
 
     def __init__(self, cfg: EngineConfig, base_url: str | None = None,
@@ -67,16 +149,18 @@ class OpenAICompatBackend:
         # with the reference's precedence and missing-key failure (U2,
         # src/config.py:30-41)
         settings = api_settings(base_url=base_url, model=model, api_key=api_key)
-        try:
-            from openai import OpenAI
-        except ImportError as e:
-            raise NotImplementedError(
-                "openai client not available in this environment; "
-                "use StubBackend (deterministic) instead"
-            ) from e
         self.cfg = cfg
         self.model = settings["model"]
-        self.client = OpenAI(base_url=settings["base_url"], api_key=settings["api_key"])
+        try:
+            from openai import OpenAI
+
+            self.client = OpenAI(
+                base_url=settings["base_url"], api_key=settings["api_key"]
+            )
+        except ImportError:
+            self.client = _MiniOpenAIClient(
+                base_url=settings["base_url"], api_key=settings["api_key"]
+            )
 
     def _retry(self, fn):
         cfg = self.cfg

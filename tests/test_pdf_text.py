@@ -103,3 +103,106 @@ class TestExtractPdfBatch:
         assert "rasterization is stubbed" in out.error.tolist()[1]
         assert out.text.tolist()[1] == ""
         assert out.error.tolist()[2].startswith("ValueError")
+
+
+# --- rasterizer seam (VERDICT r02 #7) -----------------------------------------
+
+def _make_fake_rasterize():
+    """Deterministic test double for the poppler seam: two 112x140 pages
+    whose content block position derives from the payload digest. Built as a
+    CLOSURE so cloudpickle ships it by value (the test module itself is not
+    importable inside Ray workers)."""
+
+    def fake_rasterize(pdf_bytes: bytes) -> list[tuple[int, int, bytes]]:
+        import hashlib
+
+        import numpy as np
+
+        v = int(hashlib.md5(pdf_bytes).hexdigest()[:8], 16)
+        pages = []
+        for p in (1, 2):
+            img = np.full((140, 112, 3), 255, dtype=np.uint8)
+            x, y = 10 + (v + p) % 40, 10 + (v >> 4 + p) % 50
+            img[y:y + 40, x:x + 30] = (p * 60, 120, 180)
+            pages.append((112, 140, img.tobytes()))
+        return pages
+
+    return fake_rasterize
+
+
+class TestRasterizerSeam:
+    def test_image_only_pdf_extracts_via_injected_double(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.functions.geometry import optimize_page
+        from qwen_ocr_ray.functions.pdf_text import build_simple_pdf
+        from qwen_ocr_ray.functions.stub_vlm import stub_transcribe_document
+        from qwen_ocr_ray.pipelines.extract import run_extraction
+
+        img_only = build_simple_pdf([[]])  # a page with no text operators
+        text_pdf = build_simple_pdf([["hello text layer world"]])
+        t = pa.table(
+            {
+                "url": pa.array(
+                    ["https://x.example/img-only", "https://x.example/texty"],
+                    pa.string(),
+                ),
+                "warc_ts": pa.array([dt.datetime(2025, 1, 1)] * 2, pa.timestamp("us")),
+                "html": pa.array([img_only, text_pdf], pa.binary()),
+                "text": pa.array(["", ""], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+            }
+        )
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(t, p)
+
+        fake_rasterize = _make_fake_rasterize()
+        out = run_extraction(
+            p, approx_rows=2, checkpoint="inline", rasterize=fake_rasterize
+        ).to_pandas().set_index("url")
+
+        # expected: same local-reference fold over the optimized fake pages
+        plain = []
+        for i, (w, h, raw) in enumerate(fake_rasterize(img_only)):
+            cropped, _, _ = optimize_page(raw, w, h)
+            plain.append((i + 1, cropped))
+        want, _ = stub_transcribe_document(plain)
+        got = out.loc["https://x.example/img-only"]
+        assert got.text == want
+        assert got.kind == "pages" and got.n_pages == 2 and got.error is None
+        texty = out.loc["https://x.example/texty"]
+        assert texty.kind == "pdf" and texty.text == "hello text layer world"
+
+    def test_raster_failure_is_per_row_error(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.functions.pdf_text import build_simple_pdf
+        from qwen_ocr_ray.pipelines.extract import run_extraction
+
+        t = pa.table(
+            {
+                "url": pa.array(["https://x.example/bad"], pa.string()),
+                "warc_ts": pa.array([dt.datetime(2025, 1, 1)], pa.timestamp("us")),
+                "html": pa.array([build_simple_pdf([[]])], pa.binary()),
+                "text": pa.array([""], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+            }
+        )
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(t, p)
+        def boom(pdf_bytes: bytes):
+            raise ValueError("no raster backend")
+
+        out = run_extraction(
+            p, approx_rows=1, checkpoint="inline", rasterize=boom
+        ).to_pandas()
+        assert len(out) == 1
+        assert out.error[0].startswith("rasterize failed: ValueError")
+        assert out.text[0] == ""
+
