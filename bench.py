@@ -148,13 +148,16 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1),
         }
 
-    # headline: flagship extraction, fresh checkpoint dir (no resume credit)
+    # headline: flagship extraction, fresh checkpoint dir (no resume credit).
+    # QOR_CHECKPOINT=disk measures the durable phase-A variant instead.
+    checkpoint = os.environ.get("QOR_CHECKPOINT", "auto")
     routed_dir = f"/tmp/qor_bench_routed_{os.getpid()}"
     out_dir = f"/tmp/qor_bench_out_{os.getpid()}"
     shutil.rmtree(routed_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    ds = run_extraction(pages_path, routed_dir=routed_dir, approx_rows=n_rows)
+    ds = run_extraction(pages_path, routed_dir=routed_dir, approx_rows=n_rows,
+                        checkpoint=checkpoint)
     ds.write_parquet(out_dir)
     headline = time.perf_counter() - t0
     n_docs = sum(
@@ -216,21 +219,27 @@ def run_scaling() -> dict:
 
     ensure_pages_dataset(SF_DIR, replicate=replicate)
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, extra_env: dict | None = None) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    QOR_REPLICATE=str(replicate), QOR_SKIP_QUERIES="1")
+        env.update(extra_env or {})
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # Pin each leg to a FIXED cpuset (VERDICT r02 #9): unpinned, the
+        # hi-CPU leg bursts above its nominal share on a quiet machine and
+        # efficiency reads >1 (1.24-1.64 observed). taskset holds both legs
+        # at exactly their nominal CPU budget so the ratio measures the
+        # engine. QOR_PIN=0 restores the unpinned behavior.
+        if shutil.which("taskset") and os.environ.get("QOR_PIN", "1") != "0":
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     def one_mode(mode: str) -> dict:
-        os.environ["QOR_BENCH_MODE"] = mode
-        try:
-            lo, hi = one(lo_cpus), one(hi_cpus)
-        finally:
-            os.environ.pop("QOR_BENCH_MODE", None)
+        extra = {"QOR_BENCH_MODE": "flagship", "QOR_CHECKPOINT": "disk"} \
+            if mode == "flagship_disk" else {"QOR_BENCH_MODE": mode}
+        lo, hi = one(lo_cpus, extra), one(hi_cpus, extra)
         t_lo, t_hi = lo["value"], hi["value"]
         return {
             f"sec_{lo_cpus}": t_lo,
@@ -241,17 +250,20 @@ def run_scaling() -> dict:
             "docs": lo["docs"],
         }
 
-    flagship = one_mode("flagship")
-    minhash = one_mode("minhash")
-    return {
+    modes = os.environ.get("QOR_SCALING_MODES", "flagship,minhash").split(",")
+    results = {m: one_mode(m) for m in modes}
+    flagship = results.get("flagship") or next(iter(results.values()))
+    out = {
         "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
         # headline fields mirror the flagship numbers
         **flagship,
-        "flagship": flagship,
-        "minhash_compute_bound": minhash,
         "replicate": replicate,
         "sf": SF_DIR,
+        "pinned": bool(shutil.which("taskset")) and os.environ.get("QOR_PIN", "1") != "0",
     }
+    for m, r in results.items():
+        out["minhash_compute_bound" if m == "minhash" else m] = r
+    return out
 
 
 if __name__ == "__main__":

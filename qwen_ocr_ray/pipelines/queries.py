@@ -1700,3 +1700,91 @@ ORACLE.update(
         "domain_partitions": SQL_DOMAIN_PARTITIONS,
     }
 )
+
+
+# --- dataset curation extras (round 3) -----------------------------------------
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic content-hash train/val split: bucket = last md5 nibble
+    of the text, val when 0 (1/16). Content-keyed (not id-keyed) so exact
+    duplicate documents always land in the SAME split — no leakage; pure
+    map, no shuffle, reproducible across runs and cluster sizes."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        labels = [
+            "val" if _hl.md5(s.encode()).hexdigest()[-1] == "0" else "train"
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(labels, pa.string())}
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT doc_id,
+       CASE WHEN RIGHT(md5(text), 1) = '0' THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_length_percentiles(sf_dir: str):
+    """EXACT percentiles of an integer column via a distributed value
+    histogram: per-batch partial counts -> small global combine -> the
+    driver walks the cumulative histogram (bounded by the number of DISTINCT
+    values, not rows — the scale-safe exact-quantile pattern for
+    bounded-cardinality columns; for unbounded floats you'd swap in a
+    mergeable sketch). rank = floor((n-1) * p / 100), matching the oracle's
+    ROW_NUMBER arithmetic exactly."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    hist = grouped_sums(
+        ds.map_batches(
+            lambda t: t.select(["n_chars"]).append_column(
+                "ones", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["n_chars"],
+        sum_cols={"ones": "n"},
+    )
+    h = hist.to_pandas().sort_values("n_chars").reset_index(drop=True)
+    total = int(h.n.sum())
+    cum = h.n.cumsum()
+    pcts = [25, 50, 75, 90, 99]
+    values = []
+    for p in pcts:
+        rank = (total - 1) * p // 100
+        values.append(int(h.n_chars[int((cum > rank).idxmax())]))
+    return pa.table(
+        {
+            "pct": pa.array(pcts, pa.int64()),
+            "value": pa.array(values, pa.int64()),
+        }
+    )
+
+
+SQL_LENGTH_PERCENTILES = """
+WITH ordered AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS r FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT CAST(pr.p AS BIGINT) AS pct, CAST(o.n_chars AS BIGINT) AS value
+FROM (SELECT UNNEST([25, 50, 75, 90, 99]) AS p) pr, tot, ordered o
+WHERE o.r = (tot.n - 1) * pr.p // 100
+"""
+
+QUERIES.update(
+    {
+        "train_val_split": q_train_val_split,
+        "length_percentiles": q_length_percentiles,
+    }
+)
+ORACLE.update(
+    {
+        "train_val_split": SQL_TRAIN_VAL_SPLIT,
+        "length_percentiles": SQL_LENGTH_PERCENTILES,
+    }
+)
