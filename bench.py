@@ -236,12 +236,26 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    repeat = int(os.environ.get("QOR_SCALING_REPEAT", "1"))
+
     def one_mode(mode: str) -> dict:
         extra = {"QOR_BENCH_MODE": "flagship", "QOR_CHECKPOINT": "disk"} \
             if mode == "flagship_disk" else {"QOR_BENCH_MODE": mode}
-        lo, hi = one(lo_cpus, extra), one(hi_cpus, extra)
+        # Untimed warmup leg (QOR_WARM_MEM=0 skips): this firecracker VM
+        # backs guest memory lazily — the FIRST process to touch fresh pages
+        # pays ~1000x-slower fault service (BASELINE.md probe: 0.01 GB/s
+        # fresh vs 9.5 GB/s warmed). Whichever timed leg runs first would
+        # absorb that one-off host-side cost and bias the ratio (lo-first
+        # read as superlinear, up to 1.45). One discarded hi-CPU run backs
+        # the pages so both timed legs measure the engine, not the balloon.
+        if os.environ.get("QOR_WARM_MEM", "1") != "0":
+            one(hi_cpus, extra)
+        los = [one(lo_cpus, extra) for _ in range(repeat)]
+        his = [one(hi_cpus, extra) for _ in range(repeat)]
+        lo = sorted(los, key=lambda r: r["value"])[len(los) // 2]
+        hi = sorted(his, key=lambda r: r["value"])[len(his) // 2]
         t_lo, t_hi = lo["value"], hi["value"]
-        return {
+        res = {
             f"sec_{lo_cpus}": t_lo,
             f"sec_{hi_cpus}": t_hi,
             f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
@@ -249,6 +263,10 @@ def run_scaling() -> dict:
             "scaling_efficiency": round((t_lo / t_hi) / (hi_cpus / lo_cpus), 3),
             "docs": lo["docs"],
         }
+        if repeat > 1:  # medians above; raw legs for transparency
+            res[f"runs_{lo_cpus}"] = [r["value"] for r in los]
+            res[f"runs_{hi_cpus}"] = [r["value"] for r in his]
+        return res
 
     modes = os.environ.get("QOR_SCALING_MODES", "flagship,minhash").split(",")
     results = {m: one_mode(m) for m in modes}

@@ -34,6 +34,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -69,30 +70,194 @@ def _path_bytes(path: "str | list[str]") -> int:
     return os.path.getsize(path)
 
 
-def sized_read_parquet(
-    path: "str | list[str]", columns: list[str] | None = None
-) -> "ray.data.Dataset":
-    """read_parquet with a block count fitted to the input size.
+_TUNED = False
 
-    Ray's default splits small files into ~CPU-count×N tiny blocks; every
-    downstream stage then pays per-task overhead that dwarfs the compute
-    (measured: phase A 55s -> 6s at sf0.1 just from right-sizing). Target
-    ~16 MiB per block, capped at 512 — beyond that (multi-GB inputs) Ray's
-    own 128 MiB target is already sensible, so no override."""
-    nb = _path_bytes(path) // (16 << 20)
-    if nb > 512:
-        return ray.data.read_parquet(path, columns=columns)
-    # floor at the session CPU count so downstream map stages (parallelism ==
-    # block count) can use the whole machine even when the file is small
+
+def tune_data_context() -> None:
+    """Session-wide Ray Data executor tuning (idempotent; QOR_OP_RESERVATION=1
+    restores the Ray default).
+
+    Disables per-operator CPU reservation: with it on (Ray default,
+    ratio 0.5), a 4-operator graph at 4 CPUs left the hot extract stage an
+    average concurrency of 0.95 — one task at a time — while 16 CPUs got
+    7.4, which both halved absolute throughput and made 4->16 scaling read
+    superlinear (~1.2-1.45). Measured on the 80k-doc flagship: 4 CPUs
+    138.6 s -> 43.9 s, 16 CPUs 28.0 s -> 13.1 s, efficiency 1.24 -> 0.84.
+    Reservation guards multi-op pipelines whose intermediate blocks are
+    huge; every exchange in this engine moves payload-free rows (the fused
+    single pass drops page bytes before any shuffle), so greedy slot
+    sharing is safe here.
+    """
+    global _TUNED
+    if _TUNED or os.environ.get("QOR_OP_RESERVATION") == "1":
+        return
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().op_resource_reservation_enabled = False
+        _TUNED = True
+    except Exception:
+        pass
+
+
+def _parquet_files(path: "str | list[str]") -> list[str]:
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            out.extend(_parquet_files(p))
+        return out
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
+def _session_cpus(default: int = 8) -> int:
     try:
         import ray as _ray
 
-        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        if _ray.is_initialized():
+            return int(_ray.cluster_resources().get("CPU", default))
     except Exception:
-        cpus = 8
-    return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=max(8, cpus, int(nb))
+        pass
+    return default
+
+
+def sized_read_parquet(
+    path: "str | list[str]", columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Row-group-parallel parquet read with input-fitted block sizes.
+
+    Ray's ParquetDatasource assigns read tasks by FILE ONLY
+    (``np.array_split(pq_fragments, parallelism)`` in
+    ray/data/_internal/datasource/parquet_datasource.py) — a single large
+    file is read by ONE serial task no matter what ``override_num_blocks``
+    says; SplitBlocks merely re-chunks that task's serial output stream.
+    Measured here: a 228 MB (4.2 GB decompressed) single-file table took a
+    15 s serial read that staggered every downstream stage, holding a
+    16-CPU session at ~40% utilization.
+
+    Also applies the session-wide executor tuning (``tune_data_context``) —
+    this is the choke point every pipeline's source runs through.
+
+    This reader plans (file, contiguous row-group range) tasks from the
+    parquet FOOTER (a metadata read, no scan), sized by UNCOMPRESSED bytes
+    so wildly-compressible payloads don't collapse into a handful of giant
+    blocks, and each task yields ~32 MiB output slices so downstream
+    parallelism (== block count) never depends on how many files the table
+    happens to ship as. That is the 100 TB shape: shard addressing by
+    row-group range, identical to the resume plan in pipelines/sharded.py.
+    A file with a single giant row group cannot be split (the generators
+    write row_group_size=1024 for exactly this reason) and falls back to
+    the native reader, as does an empty plan.
+    """
+    tune_data_context()
+    files = _parquet_files(path)
+    try:
+        metas = [pq.read_metadata(f) for f in files]
+    except Exception:
+        return ray.data.read_parquet(path, columns=columns)
+    total_rows = sum(m.num_rows for m in metas)
+    n_rgs = sum(m.num_row_groups for m in metas)
+    if total_rows == 0 or n_rgs <= len(files):
+        # Unsplittable (one row group per file): the read itself is serial
+        # per file, but re-chunk its output (SplitBlocks) so downstream
+        # stage parallelism still covers the session.
+        nb = _path_bytes(path) // (16 << 20)
+        if nb > 512:
+            return ray.data.read_parquet(path, columns=columns)
+        return ray.data.read_parquet(
+            path, columns=columns,
+            override_num_blocks=max(8, _session_cpus(), int(nb)),
+        )
+    total_unc = sum(
+        m.row_group(i).total_byte_size
+        for m in metas
+        for i in range(m.num_row_groups)
     )
+    # block sizing: ~32 MiB uncompressed, floored so small inputs still fan
+    # out across the whole session (downstream stage parallelism == blocks)
+    target_blocks = max(8, _session_cpus(), total_unc // (32 << 20))
+    rows_per_block = max(1, -(-total_rows // int(target_blocks)))
+    range_rows = 2 * rows_per_block  # ~2 output blocks per read task
+    items: list[dict] = []
+    for f, m in zip(files, metas):
+        lo, acc = 0, 0
+        for i in range(m.num_row_groups):
+            acc += m.row_group(i).num_rows
+            if acc >= range_rows:
+                items.append({"path": f, "lo": lo, "hi": i + 1})
+                lo, acc = i + 1, 0
+        if lo < m.num_row_groups:
+            items.append({"path": f, "lo": lo, "hi": m.num_row_groups})
+
+    # A real Datasource (not from_items + map_batches): a downstream
+    # map_batches(batch_size=N) would FUSE with a map-based reader and
+    # re-bundle the single-row plan blocks into one giant task — measured
+    # 40 plan rows -> 1 fused task -> a 139 s serial read. Source ReadTasks
+    # keep one task per range under fusion.
+    return ray.data.read_datasource(
+        _RowGroupParquetDatasource(items, columns, rows_per_block, metas),
+        override_num_blocks=len(items),
+    )
+
+
+class _RowGroupParquetDatasource(ray.data.datasource.Datasource):
+    """Row-group-range parquet source: one ReadTask per contiguous range."""
+
+    def __init__(self, items, columns, rows_per_block, metas):
+        self._items = items
+        self._columns = columns
+        self._rows_per_block = rows_per_block
+        self._size = sum(
+            m.row_group(i).total_byte_size
+            for m in metas
+            for i in range(m.num_row_groups)
+        )
+        self._rows = {
+            f: [m.row_group(i).num_rows for i in range(m.num_row_groups)]
+            for f, m in zip((it["path"] for it in items), metas)
+        }
+
+    def get_name(self) -> str:
+        return "RowGroupParquet"
+
+    def estimate_inmemory_data_size(self):
+        return self._size
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        cols, rpb = self._columns, self._rows_per_block
+
+        def make_fn(path: str, lo: int, hi: int):
+            def fn():
+                tbl = pq.ParquetFile(path).read_row_groups(
+                    list(range(lo, hi)), columns=cols
+                )
+                return [
+                    tbl.slice(off, rpb) for off in range(0, tbl.num_rows, rpb)
+                ]
+
+            return fn
+
+        tasks = []
+        for it in self._items:
+            rows = None
+            rg_rows = self._rows.get(it["path"])
+            if rg_rows is not None:
+                rows = sum(rg_rows[it["lo"]:it["hi"]])
+            meta = BlockMetadata(
+                num_rows=rows, size_bytes=None, exec_stats=None,
+                input_files=[it["path"]],
+            )
+            tasks.append(ReadTask(make_fn(it["path"], it["lo"], it["hi"]), meta))
+        return tasks
 
 
 def load_pages(pages_path: str) -> "ray.data.Dataset":

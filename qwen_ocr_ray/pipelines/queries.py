@@ -1788,3 +1788,206 @@ ORACLE.update(
         "length_percentiles": SQL_LENGTH_PERCENTILES,
     }
 )
+
+
+# --- repetition / vocabulary / packing (round 3) -------------------------------
+
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction and the character fraction of the most frequent
+    word 2-gram. Pure map — per-doc token Counter inside map_batches (the
+    inherent per-document sketch, same shape as bpe_token_counts); no
+    shuffle. int/int divisions are bit-identical cross-engine (CLAUDE.md),
+    so no float canonicalization is needed."""
+    import collections
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        n_words, dup_frac, top_frac = [], [], []
+        for text in t["text"].to_pylist():
+            ws = tok.findall(text.lower())
+            n = len(ws)
+            wc = sum(map(len, ws))
+            n_words.append(n)
+            dup_frac.append(1 - len(set(ws)) / n if n else None)
+            cnt = collections.Counter(
+                a + " " + b for a, b in zip(ws, ws[1:])
+            )
+            if cnt and wc:
+                # deterministic argmax: highest count, then smallest bigram
+                bg, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                top_frac.append(c * (len(bg) - 1) / wc)
+            else:
+                top_frac.append(0.0 if wc else None)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "dup_word_frac": pa.array(dup_frac, pa.float64()),
+                "top_bigram_char_frac": pa.array(top_frac, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_REPETITION_SCORES = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram,
+         len(ws[i]) + len(ws[i+1]) AS bg_chars
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+), bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c, ANY_VALUE(bg_chars) AS bg_chars
+  FROM bg GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, c * bg_chars AS top_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+  FROM bgc
+), tot AS (
+  SELECT doc_id, len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_uniq,
+         len(list_aggregate(ws, 'string_agg', '')) AS word_chars
+  FROM w
+)
+SELECT t.doc_id, t.n_words,
+       1 - t.n_uniq / t.n_words AS dup_word_frac,
+       COALESCE(tp.top_chars, 0) / t.word_chars AS top_bigram_char_frac
+FROM tot t LEFT JOIN (SELECT doc_id, top_chars FROM top WHERE rn = 1) tp USING (doc_id)
+"""
+
+
+def q_token_doc_freq(sf_dir: str):
+    """Corpus vocabulary statistics (the inverted-index / IDF building
+    block): top-100 tokens by document frequency. Per-batch partial
+    combiner (token -> tf, df within the batch) collapses the shuffle to
+    |vocab per batch| rows; grouped_sums finishes the exchange; per-block
+    top-k then a final sort+limit bounds the tail to k x blocks rows
+    (top-k under a total order is mergeable)."""
+    import collections
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf: collections.Counter = collections.Counter()
+        df: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            ws = tok.findall(text.lower())
+            tf.update(ws)
+            df.update(set(ws))
+        toks = sorted(tf)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array([tf[w] for w in toks], pa.int64()),
+                "df": pa.array([df[w] for w in toks], pa.int64()),
+            }
+        )
+
+    agg = grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"],
+        sum_cols={"tf": "tf", "df": "df"},
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("df", "descending"), ("tf", "descending"),
+                          ("token", "ascending")]
+        )
+        return t.take(idx.slice(0, 100)).select(["token", "df", "tf"])
+
+    return (
+        agg.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["df", "tf", "token"], descending=[True, True, False])
+        .limit(100)
+    )
+
+
+SQL_TOKEN_DOC_FREQ = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), g AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+)
+SELECT token, df, tf FROM g ORDER BY df DESC, tf DESC, token LIMIT 100
+"""
+
+
+PACK_STREAMS = 64          # independent packing streams (semantic, user-set)
+PACK_CHUNK_CHARS = 16384   # training-sequence budget in chars
+
+
+def q_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    documents are concatenated in doc_id order within ``PACK_STREAMS``
+    independent streams and cut into fixed ``PACK_CHUNK_CHARS`` windows;
+    each doc reports the chunk it starts in and its offset there. The
+    stream count is a SEMANTIC parameter (it defines the output layout, a
+    user choice — at 100 TB you'd raise it to >= cluster cores), not a perf
+    bucket knob; parallelism inside a stream is inherently sequential
+    (prefix sum), across streams it is embarrassing. Only (doc_id, n_chars)
+    move through the exchange — small cells, so groupby().map_groups is
+    safe (CLAUDE.md)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def add_stream(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "stream",
+            pc.cast(pc.bit_wise_and(t["doc_id"], PACK_STREAMS - 1), pa.int64()),
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        df = df.sort("doc_id").with_columns(
+            (pl.col("n_chars").cum_sum() - pl.col("n_chars")).alias("start_off")
+        )
+        df = df.with_columns(
+            (pl.col("start_off") // PACK_CHUNK_CHARS).alias("chunk_id"),
+            (pl.col("start_off") % PACK_CHUNK_CHARS).alias("chunk_offset"),
+        )
+        return df.select(["doc_id", "stream", "chunk_id", "chunk_offset"]).to_arrow()
+
+    return (
+        ds.map_batches(add_stream, batch_format="pyarrow")
+        .groupby("stream")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH p AS (
+  SELECT doc_id, n_chars, doc_id % {PACK_STREAMS} AS stream,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % {PACK_STREAMS}
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM documents
+)
+SELECT doc_id, stream, start_off // {PACK_CHUNK_CHARS} AS chunk_id,
+       start_off % {PACK_CHUNK_CHARS} AS chunk_offset
+FROM p
+"""
+
+QUERIES.update(
+    {
+        "repetition_scores": q_repetition_scores,
+        "token_doc_freq": q_token_doc_freq,
+        "pack_chunks": q_pack_chunks,
+    }
+)
+ORACLE.update(
+    {
+        "repetition_scores": SQL_REPETITION_SCORES,
+        "token_doc_freq": SQL_TOKEN_DOC_FREQ,
+        "pack_chunks": SQL_PACK_CHUNKS,
+    }
+)
