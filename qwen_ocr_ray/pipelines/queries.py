@@ -1972,8 +1972,9 @@ WITH p AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM documents
 )
-SELECT doc_id, stream, start_off // {PACK_CHUNK_CHARS} AS chunk_id,
-       start_off % {PACK_CHUNK_CHARS} AS chunk_offset
+SELECT doc_id, stream,
+       CAST(start_off // {PACK_CHUNK_CHARS} AS BIGINT) AS chunk_id,
+       CAST(start_off % {PACK_CHUNK_CHARS} AS BIGINT) AS chunk_offset
 FROM p
 """
 
