@@ -276,8 +276,47 @@ def run_scaling() -> dict:
             res[f"runs_{hi_cpus}"] = [r["value"] for r in his]
         return res
 
+    def cpu_control() -> dict:
+        """Hardware-ceiling control: a fixed amount of pure-CPU work (no Ray,
+        no memory pressure, zero coordination) run on the SAME pinned cpusets
+        as the timed legs. This VM's 32 advertised vCPUs deliver ~16
+        effective cores (host-side throttling), so even an embarrassingly
+        parallel job cannot reach efficiency 1.0 between the pinned legs —
+        measured ~0.86 for 4-vs-16. The control bounds what ANY engine could
+        score here; `normalized_efficiency` below reports the engine against
+        that attainable ceiling (a real N->4N node cluster adds hardware,
+        not vCPU shares, so it has no such ceiling)."""
+        probe = (
+            "import sys,time;from concurrent.futures import ProcessPoolExecutor\n"
+            "def spin(_):\n"
+            "    x=0\n"
+            "    for i in range(6_000_000): x+=i*i\n"
+            "    return x\n"
+            "n=int(sys.argv[1])\n"
+            "t0=time.perf_counter()\n"
+            "ex=ProcessPoolExecutor(n);list(ex.map(spin,range(64)));ex.shutdown()\n"
+            "print(time.perf_counter()-t0)\n"
+        )
+
+        def leg(ncpu: int) -> float:
+            cmd = [sys.executable, "-c", probe, str(ncpu)]
+            if shutil.which("taskset") and os.environ.get("QOR_PIN", "1") != "0":
+                cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            return float(subprocess.run(
+                cmd, capture_output=True, text=True, check=True
+            ).stdout.strip().splitlines()[-1])
+
+        t_lo, t_hi = leg(lo_cpus), leg(hi_cpus)
+        return {
+            f"sec_{lo_cpus}": round(t_lo, 3),
+            f"sec_{hi_cpus}": round(t_hi, 3),
+            "scaling_efficiency": round((t_lo / t_hi) / (hi_cpus / lo_cpus), 3),
+        }
+
     modes = os.environ.get("QOR_SCALING_MODES", "flagship,minhash").split(",")
     results = {m: one_mode(m) for m in modes}
+    control = cpu_control()
+    ceiling = max(control["scaling_efficiency"], 1e-9)
     flagship = results.get("flagship") or next(iter(results.values()))
     out = {
         "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
@@ -286,9 +325,14 @@ def run_scaling() -> dict:
         "replicate": replicate,
         "sf": SF_DIR,
         "pinned": bool(shutil.which("taskset")) and os.environ.get("QOR_PIN", "1") != "0",
+        "cpu_control": control,
+        "normalized_efficiency": round(
+            flagship["scaling_efficiency"] / ceiling, 3
+        ),
     }
     for m, r in results.items():
         out["minhash_compute_bound" if m == "minhash" else m] = r
+        r["normalized_efficiency"] = round(r["scaling_efficiency"] / ceiling, 3)
     return out
 
 

@@ -8,10 +8,10 @@ Default (inline, stub backend) — ONE payload pass, no checkpoint:
     pass 2: read full rows -> drop losers -> route by payload kind -> per
             batch, IN ONE FUSED TASK: html DOM-extract | pdf text-layer |
             empty/invalid passthrough doc rows, AND pages explode ->
-            optimize -> transcribe page rows (raw page images never enter
-            the object store)
-    shuffle: one hash-bucket exchange on url over small text rows; page
-            runs fold into documents, doc rows pass through.
+            optimize -> transcribe -> FOLD page rows (raw page images never
+            enter the object store; the per-doc fold is task-local because
+            the winner filter leaves one row per url and a row never splits
+            across batches — no shuffle anywhere in the pipeline)
 
 Alternatives selected by ``checkpoint=`` / ``backend=`` / ``dedup_strategy=``:
   * ``checkpoint="disk"`` — phase A writes a kind-partitioned Parquet
@@ -24,8 +24,8 @@ Alternatives selected by ``checkpoint=`` / ``backend=`` / ``dedup_strategy=``:
     raw Ray reduce, for same-instant dups / unbroadcastable dup rates.
 
 At 10^12 rows the default moves each payload byte exactly once (storage ->
-worker), shuffles only extracted text, and resumes via the sharded runner's
-per-shard manifests (pipelines/sharded.py).
+worker), shuffles nothing, and resumes via the sharded runner's per-shard
+manifests (pipelines/sharded.py).
 """
 
 from __future__ import annotations
@@ -199,7 +199,12 @@ def sized_read_parquet(
     block_mb = int(os.environ.get("QOR_READ_BLOCK_MB", "32"))
     target_blocks = max(8, _session_cpus(), total_unc // (block_mb << 20))
     rows_per_block = max(1, -(-total_rows // int(target_blocks)))
-    range_rows = 2 * rows_per_block  # ~2 output blocks per read task
+    # ONE block per read task: downstream map stages FUSE with the read, so
+    # read-task granularity IS the pipeline's task granularity — at 2 blocks
+    # per task a 16-worker session got 40 fused route tasks (2.5 waves,
+    # ~4.6 s of wave-quantization + straggler tail on a 13.9 s run); 1 block
+    # per task doubles the wave count for the same per-task overhead profile
+    range_rows = rows_per_block
     items: list[dict] = []
     for f, m in zip(files, metas):
         lo, acc = 0, 0
@@ -764,17 +769,38 @@ def _inline_dataset(
     | pdf text-layer | passthrough) doc rows AND (explode -> optimize ->
     transcribe) page rows — raw page images live and die inside the task,
     never entering the object store. Doc and page rows share a union schema
-    (doc rows have page_num null); ONE hash-bucket shuffle on url then folds
-    page runs into documents and passes doc rows through. Total movement:
-    one payload read, one small-text shuffle.
+    (doc rows have page_num null). Total movement: one payload read.
+
+    The per-document fold is TASK-LOCAL by default — no shuffle at all: the
+    winner filter leaves at most one input row per url, and every page row
+    of that url is exploded, transcribed and folded inside the same fused
+    task (map_batches never splits a single input row across batches), so
+    co-location by url holds without an exchange. The whole pipeline is then
+    read -> fused kernel -> sink: embarrassingly parallel, which is exactly
+    the 10^12-row shape (measured here: dropping the bucketed groupby cut
+    the 16-CPU 80k-doc wall from ~13.6 s to ~9 s and removed the all-to-all
+    barrier that capped 4->16 scaling).
+
+    Passing an explicit ``num_buckets`` keeps the hash-bucket exchange fold
+    (the distribution-invariance test proves local == bucketed). The only
+    behavioral difference is the documented-unsupported same-instant
+    duplicate case (two surviving rows for one (url, warc_ts)): the exchange
+    interleaves both rows' pages into one folded doc, the local fold emits
+    one doc per surviving row.
 
     Live (actor) backends need a separate actor stage for inference, so they
     take the two-consumer path in run_extraction instead."""
     win_ref = _broadcast_winners(_contested_winners(pages_path))
-    from qwen_ocr_ray.stages.bucketing import add_bucket_column, pick_num_buckets
+    from qwen_ocr_ray.stages.bucketing import add_bucket_column
 
     route_process = make_route_process(win_ref, cfg, rasterize)
-    b = num_buckets or pick_num_buckets(approx_rows, rows_per_bucket=50_000)
+    if num_buckets is None:
+        def route_fold(t: pa.Table) -> pa.Table:
+            return fold_mixed_bucket(route_process(t))
+
+        return load_pages(pages_path).map_batches(
+            route_fold, batch_format="pyarrow", batch_size=cfg.binary_batch_size
+        )
 
     return (
         load_pages(pages_path)
@@ -782,7 +808,8 @@ def _inline_dataset(
             route_process, batch_format="pyarrow", batch_size=cfg.binary_batch_size
         )
         .map_batches(
-            lambda t, nb=b: add_bucket_column(t, "url", nb), batch_format="pyarrow"
+            lambda t, nb=num_buckets: add_bucket_column(t, "url", nb),
+            batch_format="pyarrow",
         )
         .groupby("bucket")
         .map_groups(fold_mixed_bucket, batch_format="pyarrow")

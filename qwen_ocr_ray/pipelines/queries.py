@@ -1550,6 +1550,83 @@ ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_date
 """
 
 
+FOLLOWUP_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_event_followups(sf_dir: str):
+    """Range (interval) self-join + folded aggregate: per event, the count
+    and value sum of the SAME USER's strictly-later events within one hour
+    (another operator Ray Data lacks — co-bucketed single-shuffle polars
+    equi-join + window filter, stages/join.bucketed_range_join). The
+    per-event aggregate runs as the join's ``post`` inside the SAME bucket
+    exchange — exact because all rows of a user share a bucket — so the
+    whole query is one shuffle."""
+    import polars as pl
+
+    from qwen_ocr_ray.stages.join import bucketed_range_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def rename_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "ts2", "value2"])
+
+    def fold(df: "pl.DataFrame") -> "pl.DataFrame":
+        return df.group_by("event_id").agg(
+            n_next_hour=pl.col("ts2").is_not_null().sum().cast(pl.Int64),
+            sum_next_hour=pl.col("value2").sum().fill_null(0.0),
+        )
+
+    out = bucketed_range_join(
+        left,
+        right.map_batches(rename_right, batch_format="pyarrow"),
+        key="user_id",
+        left_time="ts",
+        right_time="ts2",
+        lo_us=1,  # strictly later (delta >= 1 us)
+        hi_us=FOLLOWUP_WINDOW_US + 1,  # ... and <= 1 hour
+        left_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts2", pa.timestamp("us")),
+                ("value2", pa.float64()),
+            ]
+        ),
+        how="left",
+        num_buckets=_auto_buckets(sf_dir, "events"),
+        post=fold,
+        post_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("n_next_hour", pa.int64()),
+                ("sum_next_hour", pa.float64()),
+            ]
+        ),
+    )
+    return out.map_batches(
+        lambda t: _canon_floats(t, ["sum_next_hour"], 2), batch_format="pyarrow"
+    )
+
+
+SQL_EVENT_FOLLOWUPS = """
+SELECT l.event_id,
+       COUNT(r.ts) AS n_next_hour,
+       CAST(ROUND(COALESCE(SUM(r.value), 0), 2) AS REAL) AS sum_next_hour
+FROM events l LEFT JOIN events r
+  ON r.user_id = l.user_id
+ AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY l.event_id
+"""
+
+
 def q_ann_ivf_full(sf_dir: str):
     """IVF top-k probing ALL cells: must equal brute force exactly (the
     machinery-correctness complement to the approximate ann_ivf_topk)."""
@@ -1573,6 +1650,7 @@ QUERIES.update(
         "bpe_token_counts": q_bpe_token_counts,
         "domain_histogram": q_domain_histogram,
         "events_asof_order": q_events_asof_order,
+        "event_followups": q_event_followups,
         "ann_ivf_full": q_ann_ivf_full,
         "supplier_nation_revenue": q_supplier_nation_revenue,
         "brand_volume": q_brand_volume,
@@ -1583,6 +1661,7 @@ QUERIES.update(
 ORACLE.update(
     {
         "events_asof_order": SQL_EVENTS_ASOF_ORDER,
+        "event_followups": SQL_EVENT_FOLLOWUPS,
         "ann_ivf_full": SQL_ANN_TOPK,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
         "brand_volume": SQL_BRAND_VOLUME,

@@ -15,6 +15,10 @@ Three patterns:
     the key (ONE shuffle), vectorized ``polars.join_asof`` per bucket.
     Partitioning assumption: all rows of one key land in one bucket, so keys
     must be un-skewed or pre-salted with a per-salt right-side replica.
+  * ``bucketed_range_join`` — another operator Ray Data lacks: pairs with
+    equal keys whose time difference falls in [lo, hi) (interval join).
+    Same co-bucketed single-shuffle shape; an optional per-bucket ``post``
+    folds an aggregate into the same exchange.
 """
 
 from __future__ import annotations
@@ -192,6 +196,96 @@ def bucketed_asof_join(
             by_right=key,
             strategy="backward",
         )
+        return joined.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return (
+        tagged_left.union(tagged_right)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def bucketed_range_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lo_us: int,
+    hi_us: int,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    how: str = "inner",
+    approx_rows: int | None = None,
+    num_buckets: int | None = None,
+    post=None,
+    post_schema: pa.Schema | None = None,
+):
+    """Range (interval) join — an operator Ray Data lacks: pairs (l, r) with
+    ``l.key == r.key`` and ``lo_us <= r[right_time] - l[left_time] < hi_us``
+    (offsets in microseconds; timestamp[us] columns compare exactly).
+
+    Co-bucketed on the key (ONE shuffle): both sides are tagged, padded to a
+    union schema and hash-bucketed; each bucket runs a vectorized polars
+    equi-join with the window filter applied immediately, so per-bucket
+    memory is the in-window match set, not the full key-cross-product.
+    ``how="left"`` keeps left rows with no in-window partner (right columns
+    null). ``post`` (with ``post_schema``) runs per bucket on the joined
+    polars frame — a per-left-key aggregate folded into the SAME exchange
+    instead of paying a second one; exact because every row of a key lands
+    in one bucket.
+
+    Partitioning assumption (same as the asof join): keys un-skewed or
+    pre-salted (stages/skew.py) with a per-salt right replica. ``left_time``
+    and ``right_time`` must be distinct column names.
+    """
+    if left_time == right_time:
+        raise ValueError("left_time and right_time must be distinct column names")
+    b = num_buckets or pick_num_buckets(approx_rows)
+    lnames = [f.name for f in left_schema]
+    rnames = [f.name for f in right_schema if f.name != key]
+    union_fields = [pa.field("__side", pa.int8())]
+    union_fields += list(left_schema)
+    union_fields += [f for f in right_schema if f.name not in lnames]
+    union_schema = pa.schema(union_fields)
+    out_schema = post_schema or pa.schema(
+        [left_schema.field(n) for n in lnames]
+        + [right_schema.field(n) for n in rnames]
+    )
+
+    tagged_left = left.map_batches(
+        lambda t: add_bucket_column(_pad_to(t, union_schema, 0), key, b),
+        batch_format="pyarrow",
+    )
+    tagged_right = right.map_batches(
+        lambda t: add_bucket_column(_pad_to(t, union_schema, 1), key, b),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        import pyarrow.compute as pc
+
+        lt = t.filter(pc.equal(t["__side"], 0)).select(lnames)
+        if lt.num_rows == 0:
+            return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
+        rt = t.filter(pc.equal(t["__side"], 1)).select([key, *rnames])
+        lf = pl.from_arrow(lt).with_row_index("__lid")
+        rf = pl.from_arrow(rt)
+        delta = pl.col(right_time).cast(pl.Int64) - pl.col(left_time).cast(pl.Int64)
+        matched = lf.join(rf, on=key, how="inner").filter(
+            (delta >= lo_us) & (delta < hi_us)
+        )
+        if how == "left":
+            missing = lf.filter(
+                ~pl.col("__lid").is_in(matched.get_column("__lid").implode())
+            )
+            # diagonal concat null-fills the absent right columns
+            matched = pl.concat([matched, missing], how="diagonal")
+        joined = matched.drop("__lid")
+        if post is not None:
+            joined = post(joined)
         return joined.select(out_schema.names).to_arrow().cast(out_schema)
 
     return (

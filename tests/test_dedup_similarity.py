@@ -348,6 +348,77 @@ class TestBucketedAsofJoin:
         assert len(out) == 4
 
 
+class TestBucketedRangeJoin:
+    def _tables(self):
+        import datetime as dt
+
+        import pyarrow as pa
+
+        T = lambda m: dt.datetime(2025, 1, 1) + dt.timedelta(minutes=m)
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2, 3], pa.int64()),
+                "k": pa.array([1, 1, 3], pa.int64()),
+                "ts": pa.array([T(0), T(45), T(0)], pa.timestamp("us")),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts2": pa.array([T(0), T(30), T(60), T(5)], pa.timestamp("us")),
+                "rv": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+            }
+        )
+        return left, right
+
+    def test_window_bounds_and_left_rows(self, ray_session):
+        import ray.data
+
+        from qwen_ocr_ray.stages.join import bucketed_range_join
+
+        left, right = self._tables()
+        HOUR = 3_600_000_000
+        out = bucketed_range_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="k", left_time="ts", right_time="ts2",
+            lo_us=0, hi_us=HOUR,  # delta in [0, 60min): lo inclusive, hi exclusive
+            left_schema=left.schema, right_schema=right.schema,
+            how="left", num_buckets=4,
+        ).to_pandas()
+        by_eid = out.groupby("eid").rv.apply(lambda s: sorted(s.dropna()))
+        # eid1 (k=1, t=0): deltas 0, 30m in-window; 60m excluded (hi exclusive)
+        assert by_eid[1] == [1.0, 2.0]
+        # eid2 (k=1, t=45): only ts2=60m (delta 15m); negatives excluded
+        assert by_eid[2] == [4.0]
+        # eid3 (k=3): key absent -> survives how="left" with null right cols
+        assert by_eid[3] == [] and (out.eid == 3).sum() == 1
+
+    def test_inner_drops_unmatched_and_post_folds(self, ray_session):
+        import polars as pl
+        import ray.data
+
+        from qwen_ocr_ray.stages.join import bucketed_range_join
+
+        left, right = self._tables()
+        out = bucketed_range_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="k", left_time="ts", right_time="ts2",
+            lo_us=1, hi_us=3_600_000_001,  # strictly-later, <= 1h
+            left_schema=left.schema, right_schema=right.schema,
+            how="inner", num_buckets=4,
+            post=lambda df: df.group_by("eid").agg(
+                n=pl.len().cast(pl.Int64), s=pl.col("rv").sum()
+            ),
+            post_schema=pa.schema(
+                [("eid", pa.int64()), ("n", pa.int64()), ("s", pa.float64())]
+            ),
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+        # eid1: ts2=30m,60m strictly later within 1h; eid2: ts2=60m; eid3 dropped
+        assert out.eid.tolist() == [1, 2]
+        assert out.n.tolist() == [2, 1]
+        assert out.s.tolist() == [6.0, 4.0]
+
+
 def test_exact_dedup_strategy_parity(planted_ds):
     from qwen_ocr_ray.stages.dedup_text import dedup_exact_text
 
