@@ -1627,6 +1627,105 @@ GROUP BY l.event_id
 """
 
 
+DECON_EVAL_MOD = 97  # doc_id % 97 == 3 -> docs a "benchmark" excerpted from
+DECON_EVAL_REM = 3
+DECON_NGRAM = 8
+DECON_SNIP_LO, DECON_SNIP_HI = 5, 25  # snippet = tokens[5:25] (0-based)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontaminate.py). The synthetic
+    "benchmark" is a set of 20-token snippets excerpted from ~1% of corpus
+    documents (doc_id % 97 == 3) — the realistic leakage scenario where
+    benchmark passages were quoted from web text — so the excerpted docs are
+    genuinely contaminated and everything else scores clean. Per document:
+    distinct shared 8-gram count + flag. Eval fingerprint is a broadcast
+    sorted-hash array; the corpus streams through map_batches with
+    vectorized searchsorted probes. The SQL oracle recomputes the overlap
+    from exact n-gram STRINGS, cross-checking the hash fingerprinting."""
+    import ray as _ray
+
+    from qwen_ocr_ray.stages.decontaminate import decontaminate, eval_ngram_hashes
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod(col):  # doc_id % MOD via integer div (doc_ids are non-negative)
+        return pc.subtract(col, pc.multiply(pc.divide(col, DECON_EVAL_MOD), DECON_EVAL_MOD))
+
+    def to_eval_snippets(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(_mod(t["doc_id"]), DECON_EVAL_REM))
+        snips = [
+            " ".join(x.split()[DECON_SNIP_LO:DECON_SNIP_HI])
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"text": pa.array(snips, pa.string())})
+
+    ev = eval_ngram_hashes(
+        docs.map_batches(to_eval_snippets, batch_format="pyarrow"), n=DECON_NGRAM
+    )
+    return decontaminate(docs, _ray.put(ev), n=DECON_NGRAM)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {DECON_NGRAM - 2})) AS u(i)
+  WHERE len(t) >= {DECON_NGRAM}
+),
+ev AS (
+  SELECT DISTINCT g FROM grams
+  WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}
+    AND i BETWEEN {DECON_SNIP_LO + 1} AND {DECON_SNIP_HI - DECON_NGRAM + 1}
+),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+  FROM grams g JOIN ev ON g.g = ev.g
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL distinct users over events (stages/sketch.py): constant-size
+    per-block registers, one 4 KiB-per-block reduce — the O(1)-exchange
+    alternative to an exact distinct at 10^12 rows. Oracle = single-process
+    mirror of the same kernels (certifies the distributed merge)."""
+    from qwen_ocr_ray.stages.sketch import approx_distinct
+
+    return approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+def q_approx_value_quantiles(sf_dir: str):
+    """Bottom-k hash-sample quantiles of events.value: each block keeps the
+    k rows with smallest key hashes (a deterministic uniform sample), one
+    tiny reduce re-takes k and interpolates — streaming quantiles without
+    the exact path's global sort/exchange."""
+    from qwen_ocr_ray.stages.sketch import approx_quantiles
+
+    return approx_quantiles(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        "value", "event_id", [0.25, 0.5, 0.75, 0.9],
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = f"""
+SELECT approx_distinct FROM read_parquet('{_ORACLE01}/approx_distinct_users.parquet')
+"""
+
+SQL_APPROX_VALUE_QUANTILES = f"""
+SELECT q, value FROM read_parquet('{_ORACLE01}/value_quantiles.parquet')
+"""
+
+
 def q_ann_ivf_full(sf_dir: str):
     """IVF top-k probing ALL cells: must equal brute force exactly (the
     machinery-correctness complement to the approximate ann_ivf_topk)."""
@@ -1651,6 +1750,9 @@ QUERIES.update(
         "domain_histogram": q_domain_histogram,
         "events_asof_order": q_events_asof_order,
         "event_followups": q_event_followups,
+        "decontaminate": q_decontaminate,
+        "approx_distinct_users": q_approx_distinct_users,
+        "approx_value_quantiles": q_approx_value_quantiles,
         "ann_ivf_full": q_ann_ivf_full,
         "supplier_nation_revenue": q_supplier_nation_revenue,
         "brand_volume": q_brand_volume,
@@ -1662,6 +1764,9 @@ ORACLE.update(
     {
         "events_asof_order": SQL_EVENTS_ASOF_ORDER,
         "event_followups": SQL_EVENT_FOLLOWUPS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+        "approx_value_quantiles": SQL_APPROX_VALUE_QUANTILES,
         "ann_ivf_full": SQL_ANN_TOPK,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
         "brand_volume": SQL_BRAND_VOLUME,

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 1
+ORACLE_VERSION = 2  # v2: + sketches (HLL distinct, bottom-k quantiles)
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -307,6 +307,41 @@ def expected_domain_partitions(pages_path: str, *, hot_fraction: float = 0.05) -
     return g.set_column(1, "n_rows", pc.cast(g["n_rows"], pa.int64()))
 
 
+def expected_sketches(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirrors of the stages/sketch.py aggregates over events:
+    one full-table pass with the SAME pure kernels the pipeline folds per
+    block — a hash match certifies the distributed sketch merge exactly."""
+    from qwen_ocr_ray.functions.sketch import (
+        bottomk_rows, hll_estimate, hll_registers, mix64, quantiles_from_sample,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+    )
+    users = mix64(ev["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    distinct = pa.table(
+        {"approx_distinct": pa.array([hll_estimate(hll_registers(users))], pa.int64())}
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    keys = mix64(ev["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    vals = ev["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    _, vs = bottomk_rows(keys, vals, 4096)
+    quants = pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(
+                [float(np.float32(round(v, 4))) for v in quantiles_from_sample(vs, qs)],
+                pa.float64(),
+            ),
+        }
+    )
+    return {
+        "approx_distinct_users.parquet": distinct,
+        "value_quantiles.parquet": quants,
+    }
+
+
 # --- cache driver -------------------------------------------------------------
 
 def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> str:
@@ -339,6 +374,7 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "training_prep.parquet": expected_training_prep(pages_path, golden_path),
         "ann_ivf_topk.parquet": expected_ann_ivf_topk(sf_dir),
         "domain_partitions.parquet": expected_domain_partitions(pages_path),
+        **expected_sketches(sf_dir),
     }
     for name, table in tables.items():
         path = os.path.join(out_dir, name)

@@ -544,3 +544,64 @@ class TestAnnDriverReads:
         np.testing.assert_array_equal(s16, sample_embeddings(self.PATH, n=16))
         cents = kmeans_centroids(_normalize(s16), k=4)
         np.testing.assert_array_equal(cents, kmeans_centroids(_normalize(s16), k=4))
+
+
+class TestDecontaminate:
+    def _ds(self):
+        import ray.data
+
+        eval_doc = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        eval_doc,  # the eval side
+                        # contains the 8-gram "bravo...india" verbatim
+                        "xx yy bravo charlie delta echo foxtrot golf hotel india zz",
+                        # shares only a 7-token run -> clean under 8-grams
+                        "bravo charlie delta echo foxtrot golf hotel DIFFERENT",
+                        "too short",  # < 8 tokens -> no grams -> clean
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        return ray.data.from_arrow(docs)
+
+    def test_planted_overlap_flags_only_true_contamination(self, ray_session):
+        import pyarrow.compute as pc
+        import ray
+
+        from qwen_ocr_ray.stages.decontaminate import decontaminate, eval_ngram_hashes
+
+        ds = self._ds()
+        ev = eval_ngram_hashes(
+            ds.map_batches(
+                lambda t: t.filter(pc.equal(t["doc_id"], 0)), batch_format="pyarrow"
+            )
+        )
+        assert len(ev) == 2  # 9-token eval doc -> two 8-grams
+        out = (
+            decontaminate(
+                ds.map_batches(
+                    lambda t: t.filter(pc.not_equal(t["doc_id"], 0)),
+                    batch_format="pyarrow",
+                ),
+                ray.put(ev),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.doc_id.tolist() == [1, 2, 3]
+        assert out.contaminated.tolist() == [True, False, False]
+        assert out.n_hits.tolist() == [1, 0, 0]
+
+    def test_empty_eval_set_flags_nothing(self, ray_session):
+        import ray
+
+        from qwen_ocr_ray.stages.decontaminate import decontaminate
+
+        out = decontaminate(self._ds(), ray.put(np.zeros(0, np.uint64))).to_pandas()
+        assert not out.contaminated.any()
