@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "repetition_scores",
     "token_doc_freq",
     "pack_chunks",
+    "event_followups",
+    "decontaminate",
+    "pii_scrub",
+    "approx_distinct_users",
+    "corpus_rebalance",
 ]
 
 

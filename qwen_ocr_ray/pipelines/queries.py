@@ -1717,6 +1717,123 @@ def q_approx_value_quantiles(sf_dir: str):
     )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrub (functions/pii.py). The testdata has no PII-bearing
+    columns, so the query first CONSTRUCTS a deterministic contact-card text
+    per customer (email, IPv4 and phone all derived from c_custkey —
+    identical expressions in Ray and SQL), then scrubs it: per row,
+    pre-redaction match counts and the redacted text. The scrub itself is
+    pure vectorized Arrow RE2 (count/replace_substring_regex); the oracle
+    runs the SAME patterns through DuckDB's RE2, cross-checking counts and
+    scrubbed bytes exactly."""
+    from qwen_ocr_ray.functions.pii import scrub_column
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def _mod_str(col, m: int):
+        rem = pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+        return pc.cast(rem, pa.string())
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"]
+        profile = pc.binary_join_element_wise(
+            t["c_name"],
+            pc.binary_join_element_wise("<user", pc.cast(ck, pa.string()), "@example.com>", ""),
+            pc.binary_join_element_wise("10.", _mod_str(ck, 256), ".0.", _mod_str(ck, 100), ""),
+            pc.binary_join_element_wise(
+                "555-301-", pc.utf8_lpad(_mod_str(ck, 10000), 4, "0"), ""
+            ),
+            t["c_mktsegment"],
+            " ",
+        )
+        cols = scrub_column(profile)
+        return pa.table(
+            {
+                "c_custkey": ck,
+                "n_emails": cols["n_emails"],
+                "n_phones": cols["n_phones"],
+                "n_ips": cols["n_ips"],
+                "scrubbed": cols["scrubbed"],
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def _sql_pii_scrub() -> str:
+    from qwen_ocr_ray.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH p AS (
+  SELECT c_custkey,
+         c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>'
+           || ' 10.' || CAST(c_custkey % 256 AS VARCHAR)
+           || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+           || ' 555-301-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' ' || c_mktsegment AS t
+  FROM customer
+)
+SELECT c_custkey,
+  CAST(length(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(length(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(length(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(
+      t, '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g') AS scrubbed
+FROM p
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+REBAL_CAP = 40  # per-language document cap
+
+
+def q_corpus_rebalance(sf_dir: str):
+    """Corpus rebalancing: cap each language stratum at REBAL_CAP documents,
+    chosen DETERMINISTICALLY by content-hash order (md5 asc, doc_id
+    tiebreak) — a uniform per-stratum downsample that is reproducible across
+    runs, block splits and cluster sizes (the standard move to stop a
+    dominant language swamping a multilingual training mix). Shape: the
+    payload is dropped before the exchange (only doc_id/lang/32-byte hash
+    move), then bucketed per-key head-K — never a global sort."""
+    import hashlib as _hl
+
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    nb = _auto_buckets(sf_dir, "documents")
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = [_hl.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        t = t.drop_columns(["text"]).append_column(
+            "sort_key", pa.array(keys, pa.string())
+        )
+        return add_bucket_column(t, "lang", nb)
+
+    def cap(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["bucket"]))
+        out = (
+            df.sort(["lang", "sort_key", "doc_id"])
+            .group_by("lang", maintain_order=True)
+            .head(REBAL_CAP)
+        )
+        return out.select(["doc_id", "lang"]).to_arrow()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cap, batch_format="pyarrow")
+    )
+
+
+SQL_CORPUS_REBALANCE = f"""
+SELECT doc_id, lang FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= {REBAL_CAP}
+"""
+
+
 SQL_APPROX_DISTINCT_USERS = f"""
 SELECT approx_distinct FROM read_parquet('{_ORACLE01}/approx_distinct_users.parquet')
 """
@@ -1753,6 +1870,8 @@ QUERIES.update(
         "decontaminate": q_decontaminate,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
+        "pii_scrub": q_pii_scrub,
+        "corpus_rebalance": q_corpus_rebalance,
         "ann_ivf_full": q_ann_ivf_full,
         "supplier_nation_revenue": q_supplier_nation_revenue,
         "brand_volume": q_brand_volume,
@@ -1767,6 +1886,8 @@ ORACLE.update(
         "decontaminate": SQL_DECONTAMINATE,
         "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
         "approx_value_quantiles": SQL_APPROX_VALUE_QUANTILES,
+        "pii_scrub": SQL_PII_SCRUB,
+        "corpus_rebalance": SQL_CORPUS_REBALANCE,
         "ann_ivf_full": SQL_ANN_TOPK,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
         "brand_volume": SQL_BRAND_VOLUME,

@@ -262,3 +262,40 @@ class TestIvf:
         cents = kmeans_centroids(vecs, k=8)
         top = ivf_topk(ray.data.from_arrow(t), base[9], k=2, centroids=cents, nprobe=2).to_pandas()
         assert {9, 60} == set(top.vec_id)
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self):
+        import pyarrow as pa
+
+        from qwen_ocr_ray.functions.pii import scrub_column
+
+        col = pa.array(
+            [
+                "mail a@b.co and c.d-e@f.org twice",
+                "call 555-301-0042 from 10.1.0.99",
+                "nothing sensitive here",
+                "",
+            ],
+            pa.string(),
+        )
+        out = scrub_column(col)
+        assert out["n_emails"].to_pylist() == [2, 0, 0, 0]
+        assert out["n_phones"].to_pylist() == [0, 1, 0, 0]
+        assert out["n_ips"].to_pylist() == [0, 1, 0, 0]
+        s = out["scrubbed"].to_pylist()
+        assert s[0] == "mail <EMAIL> and <EMAIL> twice"
+        assert s[1] == "call <PHONE> from <IP>"
+        assert s[2] == "nothing sensitive here"
+
+    def test_ip_in_email_domain_not_double_scrubbed(self):
+        import pyarrow as pa
+
+        from qwen_ocr_ray.functions.pii import scrub_column
+
+        # user@1.2.3.4 is not a match for the conservative email pattern
+        # (numeric TLD), so the IP inside it is redacted instead
+        out = scrub_column(pa.array(["u@1.2.3.4 end"], pa.string()))
+        assert out["n_emails"].to_pylist() == [0]
+        assert out["n_ips"].to_pylist() == [1]
+        assert out["scrubbed"].to_pylist() == ["u@<IP> end"]
