@@ -230,9 +230,23 @@ def run_scaling() -> dict:
     )
     from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
 
-    ensure_pages_dataset(SF_DIR, replicate=replicate)
+    pages_path, _ = ensure_pages_dataset(SF_DIR, replicate=replicate)
+
+    def warm_input() -> None:
+        """Re-fault the input into the page cache immediately before each
+        timed leg. The one-off warmup leg used to be enough, but this VM's
+        host balloon can reclaim the guest page cache MID-SEQUENCE (observed:
+        buff/cache dropped to ~3 GB between runs; the 16-CPU leg then read
+        cold at fresh-fault bandwidth and efficiency collapsed 0.92 -> 0.59
+        with the pure-CPU control unaffected). A ~0.1 s warm re-read per leg
+        closes that window."""
+        for p in (pages_path, os.path.join(SF_DIR, "documents.parquet")):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
     def one(ncpu: int, extra_env: dict | None = None) -> dict:
+        warm_input()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    QOR_REPLICATE=str(replicate), QOR_SKIP_QUERIES="1")
         env.update(extra_env or {})
