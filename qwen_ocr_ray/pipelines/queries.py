@@ -1795,9 +1795,13 @@ def q_corpus_rebalance(sf_dir: str):
     chosen DETERMINISTICALLY by content-hash order (md5 asc, doc_id
     tiebreak) — a uniform per-stratum downsample that is reproducible across
     runs, block splits and cluster sizes (the standard move to stop a
-    dominant language swamping a multilingual training mix). Shape: the
-    payload is dropped before the exchange (only doc_id/lang/32-byte hash
-    move), then bucketed per-key head-K — never a global sort."""
+    dominant language swamping a multilingual training mix). Shape: lang is
+    a LOW-cardinality key, so a naive lang-keyed exchange would make each
+    group an entire stratum; instead every batch PRE-PRUNES to its own
+    per-lang head-K (global top-K by hash is contained in the union of
+    per-batch top-Ks), so the exchange carries O(batches x langs x K) tiny
+    rows and the final per-lang group is bounded, not stratum-sized. The
+    payload never moves (doc_id/lang/32-byte hash only)."""
     import hashlib as _hl
 
     import polars as pl
@@ -1805,21 +1809,26 @@ def q_corpus_rebalance(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     nb = _auto_buckets(sf_dir, "documents")
 
-    def prep(t: pa.Table) -> pa.Table:
-        keys = [_hl.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
-        t = t.drop_columns(["text"]).append_column(
-            "sort_key", pa.array(keys, pa.string())
-        )
-        return add_bucket_column(t, "lang", nb)
-
-    def cap(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.drop_columns(["bucket"]))
-        out = (
+    def _headk(df: "pl.DataFrame") -> "pl.DataFrame":
+        return (
             df.sort(["lang", "sort_key", "doc_id"])
             .group_by("lang", maintain_order=True)
             .head(REBAL_CAP)
         )
-        return out.select(["doc_id", "lang"]).to_arrow()
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = [_hl.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        df = pl.from_arrow(
+            t.drop_columns(["text"]).append_column(
+                "sort_key", pa.array(keys, pa.string())
+            )
+        )
+        return add_bucket_column(_headk(df).to_arrow(), "lang", nb)
+
+    def cap(t: pa.Table) -> pa.Table:
+        return _headk(pl.from_arrow(t.drop_columns(["bucket"]))).select(
+            ["doc_id", "lang"]
+        ).to_arrow()
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")

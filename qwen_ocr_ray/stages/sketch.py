@@ -37,6 +37,25 @@ def _column_hashes(arr: pa.ChunkedArray) -> np.ndarray:
     return string_hashes([x if x is not None else "" for x in arr.to_pylist()])
 
 
+_FANIN = 64  # level-1 combine width
+
+
+def _two_level_reduce(sketch_rows, combine, finalize):
+    """Merge per-block sketch rows without funnelling them all into ONE
+    task: level 1 re-partitions the (tiny) sketch rows across _FANIN
+    combine tasks, level 2 merges the _FANIN partials. Both merges are
+    associative+commutative, so the grouping is irrelevant to the result;
+    the final task's input is bounded at _FANIN sketches no matter how many
+    blocks the input had (a single repartition(1) would scale linearly with
+    block count — ~4 GB of HLL registers at 10^6 blocks)."""
+    return (
+        sketch_rows.repartition(_FANIN)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def approx_distinct(ds, col: str, p: int = HLL_P):
     """HyperLogLog distinct-count: one row ``{approx_distinct: int64}``."""
 
@@ -44,16 +63,23 @@ def approx_distinct(ds, col: str, p: int = HLL_P):
         regs = hll_registers(_column_hashes(t[col]), p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    def reduce_regs(t: pa.Table) -> pa.Table:
-        merged = hll_merge(
+    def _merged(t: pa.Table) -> np.ndarray:
+        return hll_merge(
             [np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist()]
         )
-        return pa.table({"approx_distinct": pa.array([hll_estimate(merged)], pa.int64())})
 
-    return (
-        ds.map_batches(batch_regs, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(reduce_regs, batch_format="pyarrow", batch_size=None)
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table({"regs": pa.array([_merged(t).tobytes()], pa.binary())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"approx_distinct": pa.array([hll_estimate(_merged(t))], pa.int64())}
+        )
+
+    return _two_level_reduce(
+        ds.map_batches(batch_regs, batch_format="pyarrow"), combine, finalize
     )
 
 
@@ -69,12 +95,21 @@ def approx_quantiles(ds, value_col: str, key_col: str, qs: list[float], k: int =
             {"h": pa.array(hs, pa.uint64()), "v": pa.array(vs, pa.float64())}
         )
 
-    def reduce_sample(t: pa.Table) -> pa.Table:
-        hs, vs = bottomk_rows(
+    def _retake(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        return bottomk_rows(
             t["h"].to_numpy(zero_copy_only=False),
             t["v"].to_numpy(zero_copy_only=False),
             k,
         )
+
+    def combine(t: pa.Table) -> pa.Table:
+        hs, vs = _retake(t)
+        return pa.table(
+            {"h": pa.array(hs, pa.uint64()), "v": pa.array(vs, pa.float64())}
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        _, vs = _retake(t)
         vals = quantiles_from_sample(vs, qs)
         return pa.table(
             {
@@ -85,8 +120,6 @@ def approx_quantiles(ds, value_col: str, key_col: str, qs: list[float], k: int =
             }
         )
 
-    return (
-        ds.map_batches(batch_sample, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(reduce_sample, batch_format="pyarrow", batch_size=None)
+    return _two_level_reduce(
+        ds.map_batches(batch_sample, batch_format="pyarrow"), combine, finalize
     )
