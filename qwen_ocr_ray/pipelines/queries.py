@@ -1787,6 +1787,98 @@ FROM p
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+TFIDF_TOP = 5
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-5 TF-IDF terms (the classic keyword/topic signal):
+    pass 1 computes corpus document frequency with the per-batch combiner +
+    grouped_sums exchange (same discipline as token_doc_freq), the DF map
+    broadcasts once via ray.put (bounded by vocabulary size — at web scale
+    cap it to the top-V terms by df, which changes no kept score), and
+    pass 2 streams documents through an actor pool scoring tf·ln(N/df) per
+    row. Scores are canonicalized (round(4)->float32) BEFORE the top-k sort
+    so Ray and the SQL oracle cut identical ties."""
+    import collections
+    import math
+    import re as _re
+
+    import numpy as np
+    import ray as _ray
+
+    tok = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    )
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        df: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            df.update(set(tok.findall(text.lower())))
+        toks = sorted(df)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([df[w] for w in toks], pa.int64()),
+            }
+        )
+
+    dft = grouped_sums(
+        ds.map_batches(partial_df, batch_format="pyarrow"),
+        keys=["token"],
+        sum_cols={"df": "df"},
+    )
+    df_map: dict[str, int] = {}
+    for b in dft.iter_batches(batch_size=None, batch_format="pyarrow"):
+        df_map.update(zip(b["token"].to_pylist(), b["df"].to_pylist()))
+    ref = _ray.put(df_map)
+
+    class Score:
+        def __init__(self):
+            self.df = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, terms, scores = [], [], []
+            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                tf = collections.Counter(tok.findall(text.lower()))
+                canon = sorted(
+                    (-float(np.float32(round(c * math.log(n_docs / self.df[w]), 4))), w)
+                    for w, c in tf.items()
+                )
+                for neg, w in canon[:TFIDF_TOP]:
+                    ids.append(did)
+                    terms.append(w)
+                    scores.append(-neg)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "term": pa.array(terms, pa.string()),
+                    "score": pa.array(scores, pa.float32()),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(tf.tf * ln(n.n / df.df), 4) AS REAL) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, score FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= {TFIDF_TOP}
+"""
+
+
 REBAL_CAP = 40  # per-language document cap
 
 
@@ -1881,6 +1973,7 @@ QUERIES.update(
         "approx_value_quantiles": q_approx_value_quantiles,
         "pii_scrub": q_pii_scrub,
         "corpus_rebalance": q_corpus_rebalance,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "ann_ivf_full": q_ann_ivf_full,
         "supplier_nation_revenue": q_supplier_nation_revenue,
         "brand_volume": q_brand_volume,
@@ -1897,6 +1990,7 @@ ORACLE.update(
         "approx_value_quantiles": SQL_APPROX_VALUE_QUANTILES,
         "pii_scrub": SQL_PII_SCRUB,
         "corpus_rebalance": SQL_CORPUS_REBALANCE,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "ann_ivf_full": SQL_ANN_TOPK,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
         "brand_volume": SQL_BRAND_VOLUME,
