@@ -1787,6 +1787,61 @@ FROM p
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+CHUNK_LEN, CHUNK_STRIDE = 500, 400  # 100-char overlap
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window document chunking (RAG / long-context prep): each
+    document explodes into CHUNK_LEN-char windows every CHUNK_STRIDE chars
+    (100-char overlap), the last window being the first that reaches the
+    end; empty docs yield one empty chunk. A pure per-row explode inside
+    map_batches — embarrassingly parallel, chunk count proportional to doc
+    length, no shuffle. The oracle reproduces the window arithmetic with
+    generate_series + substr."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, starts, chunks = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            L = len(text)
+            k = 0
+            for start in range(0, max(L, 1), CHUNK_STRIDE):
+                ids.append(did)
+                idxs.append(k)
+                starts.append(start)
+                chunks.append(text[start : start + CHUNK_LEN])
+                k += 1
+                if start + CHUNK_LEN >= L:
+                    break
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "start_off": pa.array(starts, pa.int64()),
+                "chunk": pa.array(chunks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+n AS (
+  SELECT doc_id, text,
+         CASE WHEN L <= {CHUNK_LEN} THEN 1
+              ELSE 1 + CAST(CEIL((L - {CHUNK_LEN}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)
+         END AS n_chunks
+  FROM d
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS chunk_idx,
+       CAST((i - 1) * {CHUNK_STRIDE} AS BIGINT) AS start_off,
+       substr(text, (i - 1) * {CHUNK_STRIDE} + 1, {CHUNK_LEN}) AS chunk
+FROM n, UNNEST(range(1, n_chunks + 1)) AS u(i)
+"""
+
+
 TFIDF_TOP = 5
 
 
@@ -1974,6 +2029,7 @@ QUERIES.update(
         "pii_scrub": q_pii_scrub,
         "corpus_rebalance": q_corpus_rebalance,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "chunk_documents": q_chunk_documents,
         "ann_ivf_full": q_ann_ivf_full,
         "supplier_nation_revenue": q_supplier_nation_revenue,
         "brand_volume": q_brand_volume,
@@ -1991,6 +2047,7 @@ ORACLE.update(
         "pii_scrub": SQL_PII_SCRUB,
         "corpus_rebalance": SQL_CORPUS_REBALANCE,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "ann_ivf_full": SQL_ANN_TOPK,
         "supplier_nation_revenue": SQL_SUPPLIER_NATION_REVENUE,
         "brand_volume": SQL_BRAND_VOLUME,

@@ -299,3 +299,58 @@ class TestPiiScrub:
         assert out["n_emails"].to_pylist() == [0]
         assert out["n_ips"].to_pylist() == [1]
         assert out["scrubbed"].to_pylist() == ["u@<IP> end"]
+
+
+class TestChunkDocuments:
+    def test_window_boundaries_and_empty_doc(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from qwen_ocr_ray.pipelines.queries import (
+            CHUNK_LEN, CHUNK_STRIDE, ORACLE, QUERIES,
+        )
+
+        # lengths straddling every boundary: empty, < len, == len, one past
+        # a stride boundary, several windows
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["", "x" * 100, "y" * CHUNK_LEN, "z" * (CHUNK_LEN + CHUNK_STRIDE + 1),
+                     "w" * (3 * CHUNK_STRIDE + CHUNK_LEN)],
+                    pa.string(),
+                ),
+            }
+        )
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(docs, os.path.join(d, "documents.parquet"))
+            got = (
+                QUERIES["chunk_documents"](d)
+                .to_pandas()
+                .sort_values(["doc_id", "chunk_idx"])
+                .reset_index(drop=True)
+            )
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+            )
+            exp = (
+                con.execute(ORACLE["chunk_documents"]).df()
+                .sort_values(["doc_id", "chunk_idx"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+        n_per_doc = got.groupby("doc_id").size()
+        assert n_per_doc.tolist() == [1, 1, 1, 3, 4]
+        # overlap: consecutive chunks share CHUNK_LEN - CHUNK_STRIDE chars
+        c4 = got[got.doc_id == 4].chunk.tolist()
+        assert c4[0][CHUNK_STRIDE:] == c4[1][: CHUNK_LEN - CHUNK_STRIDE]
+        # full coverage: concatenating stride prefixes + last chunk == text
+        rebuilt = "".join(c[:CHUNK_STRIDE] for c in c4[:-1]) + c4[-1]
+        assert rebuilt == "w" * (3 * CHUNK_STRIDE + CHUNK_LEN)
