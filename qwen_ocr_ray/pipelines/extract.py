@@ -227,6 +227,42 @@ def sized_read_parquet(
     )
 
 
+def read_row_group_range(
+    path: str,
+    rg_lo: int,
+    rg_hi: int,
+    columns: list[str] | None = None,
+    num_tasks: int | None = None,
+):
+    """Multi-task read of row groups [rg_lo, rg_hi) of ONE parquet file.
+
+    The resumable sharded runner addresses work by (file, row-group range);
+    this plans that range as ``num_tasks`` (default: session CPUs)
+    contiguous sub-range ReadTasks through the same real Datasource as
+    ``sized_read_parquet`` — a from_items+map_batches reader would FUSE with
+    the downstream kernel's batch_size and re-bundle the whole shard into
+    ONE serial task (measured: an 80k-doc 5-shard run at 16 CPUs took 86 s
+    with the fused reader vs ~14 s monolithic, because intra-shard
+    parallelism was 1)."""
+    tune_data_context()
+    m = pq.read_metadata(path)
+    n = rg_hi - rg_lo
+    if n <= 0:
+        return ray.data.read_parquet(path, columns=columns)
+    tasks = max(1, min(n, num_tasks or _session_cpus()))
+    per = -(-n // tasks)
+    items = [
+        {"path": path, "lo": rg_lo + i * per, "hi": min(rg_hi, rg_lo + (i + 1) * per)}
+        for i in range(-(-n // per))
+    ]
+    range_rows = sum(m.row_group(i).num_rows for i in range(rg_lo, rg_hi))
+    rows_per_block = max(1, -(-range_rows // len(items)))
+    return ray.data.read_datasource(
+        _RowGroupParquetDatasource(items, columns, rows_per_block, [m]),
+        override_num_blocks=len(items),
+    )
+
+
 class _RowGroupParquetDatasource(ray.data.datasource.Datasource):
     """Row-group-range parquet source: one ReadTask per contiguous range."""
 

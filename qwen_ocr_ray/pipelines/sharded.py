@@ -140,32 +140,27 @@ def _build_inline_shard_dataset(
 ) -> "ray.data.Dataset":
     """One input shard -> extracted docs via the fused inline kernel.
 
-    The row-group range is read INSIDE workers (each task opens the file and
-    reads its assigned groups — nothing passes through the driver); the
-    fused route/extract/transcribe kernel and the url-bucket fold then run
-    as a normal per-shard Ray Data graph. A document's page rows all come
-    from one input row, so folding within a shard is exact; url dedup uses
-    the broadcast global winner map."""
-    from qwen_ocr_ray.pipelines.extract import fold_mixed_bucket, make_route_process
+    The row-group range is read INSIDE workers as MULTIPLE sub-range
+    ReadTasks (extract.read_row_group_range — a real Datasource, so fusion
+    with the kernel's batch_size can't re-bundle the shard into one serial
+    task; nothing passes through the driver); the fused
+    route/extract/transcribe kernel and the url-bucket fold then run as a
+    normal per-shard Ray Data graph. A document's page rows all come from
+    one input row, so folding within a shard is exact; url dedup uses the
+    broadcast global winner map."""
+    from qwen_ocr_ray.pipelines.extract import (
+        fold_mixed_bucket, make_route_process, read_row_group_range,
+    )
     from qwen_ocr_ray.stages.bucketing import add_bucket_column
 
     route_process = make_route_process(win_ref, cfg)
-    path, lo, hi = shard["path"], shard["rg_lo"], shard["rg_hi"]
-    groups = [{"rg": g} for g in range(lo, hi)]
-
-    def read_groups(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        f = pq.ParquetFile(path)
-        tables = [
-            f.read_row_group(g, columns=["url", "warc_ts", "html", "lang"])
-            for g in t["rg"].to_pylist()
-        ]
-        return pa.concat_tables(tables)
+    source = read_row_group_range(
+        shard["path"], shard["rg_lo"], shard["rg_hi"],
+        columns=["url", "warc_ts", "html", "lang"],
+    )
 
     return (
-        ray.data.from_items(groups)
-        .map_batches(read_groups, batch_format="pyarrow", batch_size=1)
+        source
         .map_batches(
             route_process, batch_format="pyarrow", batch_size=cfg.binary_batch_size
         )
