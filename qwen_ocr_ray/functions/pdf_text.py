@@ -110,7 +110,9 @@ def _stream_bytes(body: bytes) -> bytes | None:
     # optional newline before 'endstream' — an unconditional strip would
     # truncate it. Disambiguate with the declared /Length when present;
     # otherwise (Flate) try the unstripped slice first and fall back.
-    m = re.search(rb"/Length\s+(\d+)", body[:i])
+    # (?!\d) forces the full number; the trailing lookahead rejects indirect
+    # references ('/Length 12 0 R') whose object NUMBER is not a byte length.
+    m = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", body[:i])
     declared = int(m.group(1)) if m else None
     if declared is not None and 0 <= len(raw) - declared <= 2:
         raw = raw[:declared]

@@ -59,6 +59,11 @@ HLL_P = 12  # 4096 registers, ~1.6% standard error, 4 KiB per sketch
 
 def hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
     """Fold uint64 hashes into a 2^p uint8 register array (one batch)."""
+    if p < 12:
+        # The frexp rank trick below is only exact when the (64-p)-bit
+        # suffix fits float64's 52-bit mantissa; smaller p silently biases
+        # ranks when the suffix rounds across a power of two.
+        raise ValueError(f"hll_registers requires p >= 12 (got {p})")
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(hashes) == 0:

@@ -222,7 +222,7 @@ def sized_read_parquet(
     # 40 plan rows -> 1 fused task -> a 139 s serial read. Source ReadTasks
     # keep one task per range under fusion.
     return ray.data.read_datasource(
-        _RowGroupParquetDatasource(items, columns, rows_per_block, metas),
+        _RowGroupParquetDatasource(items, columns, rows_per_block, metas, files),
         override_num_blocks=len(items),
     )
 
@@ -258,7 +258,7 @@ def read_row_group_range(
     range_rows = sum(m.row_group(i).num_rows for i in range(rg_lo, rg_hi))
     rows_per_block = max(1, -(-range_rows // len(items)))
     return ray.data.read_datasource(
-        _RowGroupParquetDatasource(items, columns, rows_per_block, [m]),
+        _RowGroupParquetDatasource(items, columns, rows_per_block, [m], [path]),
         override_num_blocks=len(items),
     )
 
@@ -266,7 +266,7 @@ def read_row_group_range(
 class _RowGroupParquetDatasource(ray.data.datasource.Datasource):
     """Row-group-range parquet source: one ReadTask per contiguous range."""
 
-    def __init__(self, items, columns, rows_per_block, metas):
+    def __init__(self, items, columns, rows_per_block, metas, files):
         self._items = items
         self._columns = columns
         self._rows_per_block = rows_per_block
@@ -275,9 +275,12 @@ class _RowGroupParquetDatasource(ray.data.datasource.Datasource):
             for m in metas
             for i in range(m.num_row_groups)
         )
+        # metas are per-FILE while items are per-RANGE (a file commonly
+        # splits into several ranges) — pair by the files list, never by
+        # item paths, or later files' row counts land under the wrong key.
         self._rows = {
             f: [m.row_group(i).num_rows for i in range(m.num_row_groups)]
-            for f, m in zip((it["path"] for it in items), metas)
+            for f, m in zip(files, metas)
         }
 
     def get_name(self) -> str:

@@ -227,9 +227,10 @@ def bucketed_range_join(
     (offsets in microseconds; timestamp[us] columns compare exactly).
 
     Co-bucketed on the key (ONE shuffle): both sides are tagged, padded to a
-    union schema and hash-bucketed; each bucket runs a vectorized polars
-    equi-join with the window filter applied immediately, so per-bucket
-    memory is the in-window match set, not the full key-cross-product.
+    union schema and hash-bucketed; each bucket runs a polars LAZY equi-join
+    whose window filter pipelines over the join output via the streaming
+    engine, so per-bucket resident memory is the in-window match set plus a
+    morsel — not the full key-cross-product an eager join would materialize.
     ``how="left"`` keeps left rows with no in-window partner (right columns
     null). ``post`` (with ``post_schema``) runs per bucket on the joined
     polars frame — a per-left-key aggregate folded into the SAME exchange
@@ -274,8 +275,15 @@ def bucketed_range_join(
         lf = pl.from_arrow(lt).with_row_index("__lid")
         rf = pl.from_arrow(rt)
         delta = pl.col(right_time).cast(pl.Int64) - pl.col(left_time).cast(pl.Int64)
-        matched = lf.join(rf, on=key, how="inner").filter(
-            (delta >= lo_us) & (delta < hi_us)
+        # Lazy + streaming engine: the window filter is pipelined over the
+        # hash-join output in morsels, so a hot key's n^2 equi-matches are
+        # never resident at once — an eager join would materialize the full
+        # key cross-product before filtering.
+        matched = (
+            lf.lazy()
+            .join(rf.lazy(), on=key, how="inner")
+            .filter((delta >= lo_us) & (delta < hi_us))
+            .collect(engine="streaming")
         )
         if how == "left":
             missing = lf.filter(

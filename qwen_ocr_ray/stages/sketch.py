@@ -32,9 +32,14 @@ from qwen_ocr_ray.functions.sketch import (
 
 
 def _column_hashes(arr: pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash per NON-NULL value. Nulls are dropped for every type —
+    a null contributes neither a distinct value to HLL nor a sample key to
+    bottom-k (mapping them to "" counted one phantom distinct for strings
+    while integer nulls errored: inconsistent semantics)."""
+    arr = arr.drop_null()
     if pa.types.is_integer(arr.type):
         return mix64(arr.to_numpy(zero_copy_only=False).astype(np.uint64))
-    return string_hashes([x if x is not None else "" for x in arr.to_pylist()])
+    return string_hashes(arr.to_pylist())
 
 
 _FANIN = 64  # level-1 combine width
@@ -88,6 +93,11 @@ def approx_quantiles(ds, value_col: str, key_col: str, qs: list[float], k: int =
     keyed on ``key_col``; one row per requested quantile ``{q, value}``."""
 
     def batch_sample(t: pa.Table) -> pa.Table:
+        if t[key_col].null_count:
+            # keep hash/value row alignment: null keys contribute no sample
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.is_valid(t[key_col]))
         h = _column_hashes(t[key_col])
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         hs, vs = bottomk_rows(h, v, k)

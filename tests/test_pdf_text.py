@@ -206,3 +206,31 @@ class TestRasterizerSeam:
         assert out.error[0].startswith("rasterize failed: ValueError")
         assert out.text[0] == ""
 
+
+
+class TestIndirectLength:
+    def test_indirect_length_reference_not_treated_as_byte_count(self):
+        """'/Length 5 0 R' is an indirect REFERENCE — the object number must
+        not be read as a declared byte length (which silently truncated the
+        stream when len(raw) - objnum landed in [0, 2])."""
+        from qwen_ocr_ray.functions.pdf_text import _stream_bytes
+
+        content = b"BT (hi) Tj ET"  # 13 bytes
+        body = (
+            b"<< /Length 11 0 R >>\nstream\n" + content + b"\nendstream"
+        )
+        # objnum 11: len(raw)=14 (trailing \n), 14-11=3 -> outside [0,2] by
+        # luck; craft the bad case explicitly: objnum 12 -> 14-12=2 in range
+        bad = b"<< /Length 12 0 R >>\nstream\n" + content + b"\nendstream"
+        assert _stream_bytes(body) == content
+        assert _stream_bytes(bad) == content
+
+    def test_direct_length_still_disambiguates_trailing_newline(self):
+        from qwen_ocr_ray.functions.pdf_text import _stream_bytes
+
+        content = b"data ends with newline\n"
+        body = (
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"endstream"
+        )
+        assert _stream_bytes(body) == content

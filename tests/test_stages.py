@@ -354,3 +354,42 @@ class TestChunkDocuments:
         # full coverage: concatenating stride prefixes + last chunk == text
         rebuilt = "".join(c[:CHUNK_STRIDE] for c in c4[:-1]) + c4[-1]
         assert rebuilt == "w" * (3 * CHUNK_STRIDE + CHUNK_LEN)
+
+
+class TestRowGroupDatasourceMetadata:
+    def test_multifile_split_ranges_report_correct_num_rows(self, tmp_path):
+        """Regression: per-RANGE items zipped against per-FILE metas paired
+        later files' row counts under the wrong path (and dropped trailing
+        files), corrupting BlockMetadata.num_rows whenever a file split into
+        more than one range."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.pipelines.extract import (
+            _RowGroupParquetDatasource,
+            _parquet_files,
+        )
+
+        # two files with DIFFERENT per-row-group counts so misalignment shows
+        f1 = str(tmp_path / "a.parquet")
+        f2 = str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({"x": list(range(40))}), f1, row_group_size=10)
+        pq.write_table(pa.table({"x": list(range(9))}), f2, row_group_size=3)
+        files = _parquet_files(str(tmp_path))
+        metas = [pq.read_metadata(f) for f in files]
+        # each file splits into two ranges — the shape that broke the zip
+        items = [
+            {"path": files[0], "lo": 0, "hi": 2},
+            {"path": files[0], "lo": 2, "hi": 4},
+            {"path": files[1], "lo": 0, "hi": 1},
+            {"path": files[1], "lo": 1, "hi": 3},
+        ]
+        src = _RowGroupParquetDatasource(items, ["x"], 1 << 20, metas, files)
+        tasks = src.get_read_tasks(len(items))
+        got = [t.metadata.num_rows for t in tasks]
+        assert got == [20, 20, 3, 6]
+        # and the metadata agrees with what each task actually reads
+        for t in tasks:
+            blocks = t.read_fn()
+            assert sum(b.num_rows for b in blocks) == t.metadata.num_rows
