@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 2  # v2: + sketches (HLL distinct, bottom-k quantiles)
+ORACLE_VERSION = 3  # v3: hot-band guard in simhash/ngram/lsh verify kernels
 
 
 def oracle_tag(sf_dir: str) -> str:

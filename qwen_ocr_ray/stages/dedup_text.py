@@ -36,6 +36,7 @@ from qwen_ocr_ray.functions.text_hash import (
     simhash64,
     simhash_band_keys,
 )
+from qwen_ocr_ray.stages.band_guard import guarded_group_pairs
 from qwen_ocr_ray.stages.bucketing import add_bucket_column
 from qwen_ocr_ray.stages.dedup_url import first_per_key
 
@@ -163,82 +164,16 @@ def pairs_schema(id_type: pa.DataType) -> pa.Schema:
     )
 
 
-def _verify_band_group(
-    ids: list, sigs: list, lo: int, hi: int, threshold: float,
-    out: set, est: dict, max_group: int,
-) -> None:
-    """Verify one (band_id, band_key) group with a hot-band guard.
+def _minhash_score(threshold: float):
+    """score_fn for guarded_group_pairs: signature-agreement Jaccard."""
 
-    A degenerate key (e.g. 10k byte-identical documents landing in one band
-    bucket) would make naive pairwise verification O(g^2) in a single task.
-    Guard: (1) collapse identical signatures first — members sharing a
-    signature get STAR edges to the group's min id (est 1.0, O(g); downstream
-    connected-components recovers the clique); (2) pairwise-verify only the
-    DISTINCT signatures, and if those still exceed ``max_group``, split them
-    into secondary-hash chunks verified independently, then cross-verify the
-    chunks' representatives (min id per chunk) against each other — an
-    O(n_chunks^2) pass that restores a deterministic connectivity path
-    between chunks, so cross-chunk near-dups no longer rely solely on the
-    documents' other bands (ADVICE r02)."""
-    import zlib
+    def score(a: bytes, b: bytes) -> float | None:
+        e = estimate_jaccard(
+            np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64)
+        )
+        return e if e >= threshold else None
 
-    by_sig: dict[bytes, list[int]] = {}
-    for k in range(lo, hi):
-        by_sig.setdefault(sigs[k], []).append(ids[k])
-    reps: list[tuple[bytes, int]] = []
-    for sig_bytes, members in by_sig.items():
-        uniq = sorted(set(members))
-        rep = uniq[0]
-        reps.append((sig_bytes, rep))
-        for m in uniq[1:]:
-            pair = (rep, m)
-            if pair not in out:
-                out.add(pair)
-                est[pair] = 1.0
-    if len(reps) < 2:
-        return
-    n_chunks = -(-len(reps) // max_group)  # ceil
-    chunks: list[list[tuple[bytes, int]]]
-    if n_chunks == 1:
-        chunks = [reps]
-    else:
-        chunks = [[] for _ in range(n_chunks)]
-        for sig_bytes, rep in reps:
-            chunks[zlib.crc32(sig_bytes) % n_chunks].append((sig_bytes, rep))
-    for chunk in chunks:
-        for x in range(len(chunk)):
-            sx = np.frombuffer(chunk[x][0], dtype=np.uint64)
-            for y in range(x + 1, len(chunk)):
-                a, b = chunk[x][1], chunk[y][1]
-                if a == b:
-                    continue
-                pair = (min(a, b), max(a, b))
-                if pair in out:
-                    continue
-                sy = np.frombuffer(chunk[y][0], dtype=np.uint64)
-                e = estimate_jaccard(sx, sy)
-                if e >= threshold:
-                    out.add(pair)
-                    est[pair] = e
-    if n_chunks > 1:
-        # cross-chunk bridge: verify chunk representatives (min id each)
-        # against each other so a near-dup split across chunks still gets
-        # an edge into the component
-        bridges = [min(c, key=lambda sr: sr[1]) for c in chunks if c]
-        for x in range(len(bridges)):
-            sx = np.frombuffer(bridges[x][0], dtype=np.uint64)
-            for y in range(x + 1, len(bridges)):
-                a, b = bridges[x][1], bridges[y][1]
-                if a == b:
-                    continue
-                pair = (min(a, b), max(a, b))
-                if pair in out:
-                    continue
-                sy = np.frombuffer(bridges[y][0], dtype=np.uint64)
-                e = estimate_jaccard(sx, sy)
-                if e >= threshold:
-                    out.add(pair)
-                    est[pair] = e
+    return score
 
 
 def candidate_pairs_in_bucket(
@@ -249,7 +184,9 @@ def candidate_pairs_in_bucket(
     Groups rows by (band_id, band_key); every pair sharing a band bucket is a
     candidate; verification = signature-agreement Jaccard estimate (the
     signatures travel with the rows, so no second fetch of the corpus).
-    Oversized groups go through the hot-band guard (_verify_band_group)."""
+    Every group goes through the hot-band guard (stages/band_guard.py):
+    identical-signature star edges, max_group chunk split, representative
+    bridges."""
     schema = pairs_schema(t["doc_id"].type)
     if t.num_rows == 0:
         return pa.table({n: [] for n in schema.names}, schema=schema)
@@ -262,17 +199,20 @@ def candidate_pairs_in_bucket(
     keys = t["band_key"].to_pylist()
     ids = t["doc_id"].to_pylist()
     sigs = t["signature"].to_pylist()
-    out: set[tuple[int, int]] = set()
     est: dict[tuple[int, int], float] = {}
+    score = _minhash_score(threshold)
     i, n = 0, len(ids)
     while i < n:
         j = i
         while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
             j += 1
         if j - i > 1:
-            _verify_band_group(ids, sigs, i, j, threshold, out, est, max_group)
+            guarded_group_pairs(
+                ids, sigs, i, j, est,
+                score_fn=score, self_score_fn=lambda s: 1.0, max_group=max_group,
+            )
         i = j
-    pairs = sorted(out)
+    pairs = sorted(est)
     return pa.table(
         {
             "doc_a": pa.array([p[0] for p in pairs], schema.field("doc_a").type),
@@ -363,10 +303,14 @@ def simhash_explode_banded(t: pa.Table, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def simhash_pairs_in_bucket(t: pa.Table, max_hamming: int) -> pa.Table:
+def simhash_pairs_in_bucket(
+    t: pa.Table, max_hamming: int, *, max_group: int = 256
+) -> pa.Table:
     """One bucket of banded simhash rows -> verified pairs (hamming <= max).
     Module-level so the oracle sidecar can run the IDENTICAL kernel over all
-    rows single-process (distributed-plumbing parity check)."""
+    rows single-process (distributed-plumbing parity check). Hot-band guard
+    (stages/band_guard.py): identical signatures collapse to star edges
+    (hamming 0), distinct signatures chunk-split past ``max_group``."""
     schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
     )
@@ -379,20 +323,26 @@ def simhash_pairs_in_bucket(t: pa.Table, max_hamming: int) -> pa.Table:
     t = t.take(idx)
     bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
     ids, sigs = t["doc_id"].to_pylist(), t["sig"].to_pylist()
+    off = 1 << 63
+
+    def score(a: int, b: int) -> int | None:
+        d = hamming64(a + off, b + off)
+        return d if d <= max_hamming else None
+
     seen: dict[tuple[int, int], int] = {}
     i, n = 0, len(ids)
     while i < n:
         j = i
         while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
             j += 1
-        for x in range(i, j):
-            for y in range(x + 1, j):
-                if ids[x] == ids[y]:
-                    continue
-                d = hamming64((sigs[x] + (1 << 63)), (sigs[y] + (1 << 63)))
-                if d <= max_hamming:
-                    pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
-                    seen.setdefault(pair, d)
+        if j - i > 1:
+            guarded_group_pairs(
+                ids, sigs, i, j, seen,
+                score_fn=score,
+                self_score_fn=lambda s: 0,
+                sig_bytes=lambda s: (s + off).to_bytes(8, "little"),
+                max_group=max_group,
+            )
         i = j
     pairs = sorted(seen)
     return pa.table(
@@ -468,9 +418,13 @@ def ngram_explode_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def ngram_verify_in_bucket(t: pa.Table, threshold: float) -> pa.Table:
+def ngram_verify_in_bucket(
+    t: pa.Table, threshold: float, *, max_group: int = 256
+) -> pa.Table:
     """One bucket of banded bottom-k rows -> verified pairs. Module-level so
-    the oracle sidecar can run the IDENTICAL kernel single-process."""
+    the oracle sidecar can run the IDENTICAL kernel single-process. Hot-band
+    guard (stages/band_guard.py): identical sketches collapse to star edges
+    (Jaccard 1.0), distinct sketches chunk-split past ``max_group``."""
     if t.num_rows == 0:
         return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
     t = t.combine_chunks()
@@ -480,24 +434,25 @@ def ngram_verify_in_bucket(t: pa.Table, threshold: float) -> pa.Table:
     t = t.take(idx)
     bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
     ids, sks = t["doc_id"].to_pylist(), t["signature"].to_pylist()
+
+    def score(a: bytes, b: bytes) -> float | None:
+        jac = jaccard_from_bottomk(
+            np.frombuffer(a, dtype=np.uint64),
+            np.frombuffer(b, dtype=np.uint64),
+            BOTTOM_K,
+        )
+        return jac if jac >= threshold else None
+
     out: dict[tuple[int, int], float] = {}
     i, n = 0, len(ids)
     while i < n:
         j = i
         while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
             j += 1
-        for x in range(i, j):
-            a = np.frombuffer(sks[x], dtype=np.uint64)
-            for y in range(x + 1, j):
-                if ids[x] == ids[y]:
-                    continue
-                pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
-                if pair in out:
-                    continue
-                b = np.frombuffer(sks[y], dtype=np.uint64)
-                jac = jaccard_from_bottomk(a, b, BOTTOM_K)
-                if jac >= threshold:
-                    out[pair] = jac
+        if j - i > 1:
+            guarded_group_pairs(
+                ids, sks, i, j, out, score_fn=score, max_group=max_group
+            )
         i = j
     pairs = sorted(out)
     return pa.table(

@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from qwen_ocr_ray.stages.band_guard import guarded_group_pairs
 from qwen_ocr_ray.stages.bucketing import add_bucket_column
 from qwen_ocr_ray.stages.dedup_url import first_per_key
 
@@ -29,7 +30,23 @@ PAIRS_SCHEMA = pa.schema(
 
 
 def _matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
-    return np.asarray(t[col].to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from a fixed-dim list<float> column —
+    zero-copy through the Arrow values buffer (``to_pylist`` churned a
+    Python object per float in every similarity query's hot path)."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n and arr.null_count == 0:
+        lens = pc.min_max(pc.list_value_length(arr)).as_py()
+        if lens["min"] == lens["max"]:
+            return (
+                arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -127,10 +144,16 @@ def lsh_explode_batch(
     )
 
 
-def lsh_verify_in_bucket(t: pa.Table, threshold: float, *, id_col: str = "vec_id") -> pa.Table:
+def lsh_verify_in_bucket(
+    t: pa.Table, threshold: float, *, id_col: str = "vec_id", max_group: int = 256
+) -> pa.Table:
     """One bucket of banded embedding rows -> exact-cosine-verified pairs.
     Module-level so the oracle sidecar can run the IDENTICAL kernel
-    single-process (distributed-plumbing parity check)."""
+    single-process (distributed-plumbing parity check). Hot-band guard
+    (stages/band_guard.py): byte-identical vectors collapse to star edges
+    (their exact self-cosine, threshold-checked so zero vectors emit
+    nothing); distinct vectors chunk-split past ``max_group``, each chunk
+    verified with one vectorized matmul."""
     if t.num_rows == 0:
         return pa.table({n: [] for n in PAIRS_SCHEMA.names}, schema=PAIRS_SCHEMA)
     t = t.combine_chunks()
@@ -140,6 +163,30 @@ def lsh_verify_in_bucket(t: pa.Table, threshold: float, *, id_col: str = "vec_id
     t = t.take(idx)
     bands, keys = t["band_id"].to_pylist(), t["band_key"].to_pylist()
     ids, vecs = t[id_col].to_pylist(), t["vec"].to_pylist()
+
+    def pairwise(group: list[tuple[bytes, int]], out_d: dict) -> None:
+        if len(group) < 2:
+            return
+        gids = [r for _, r in group]
+        mat = np.frombuffer(
+            b"".join(s for s, _ in group), dtype=np.float32
+        ).reshape(len(group), -1).astype(np.float64)
+        sims = mat @ mat.T
+        for x in range(len(group)):
+            for y in range(x + 1, len(group)):
+                if gids[x] == gids[y]:
+                    continue
+                s = sims[x, y]
+                if s >= threshold:
+                    pair = (min(gids[x], gids[y]), max(gids[x], gids[y]))
+                    if pair not in out_d:
+                        out_d[pair] = round(float(s), 6)
+
+    def self_score(sig: bytes) -> float | None:
+        v = np.frombuffer(sig, dtype=np.float32).astype(np.float64)
+        s = float(v @ v)
+        return round(s, 6) if s >= threshold else None
+
     out: dict[tuple[int, int], float] = {}
     i, n = 0, len(ids)
     while i < n:
@@ -147,17 +194,11 @@ def lsh_verify_in_bucket(t: pa.Table, threshold: float, *, id_col: str = "vec_id
         while j < n and bands[j] == bands[i] and keys[j] == keys[i]:
             j += 1
         if j - i > 1:
-            group_ids = ids[i:j]
-            mat = np.frombuffer(b"".join(vecs[i:j]), dtype=np.float32).reshape(j - i, -1)
-            sims = mat.astype(np.float64) @ mat.astype(np.float64).T
-            for x in range(j - i):
-                for y in range(x + 1, j - i):
-                    if group_ids[x] == group_ids[y]:
-                        continue
-                    s = sims[x, y]
-                    if s >= threshold:
-                        pair = (min(group_ids[x], group_ids[y]), max(group_ids[x], group_ids[y]))
-                        out.setdefault(pair, round(float(s), 6))
+            guarded_group_pairs(
+                ids, vecs, i, j, out,
+                pairwise_fn=pairwise, self_score_fn=self_score,
+                max_group=max_group,
+            )
         i = j
     pairs = sorted(out)
     return pa.table(

@@ -605,3 +605,125 @@ class TestDecontaminate:
 
         out = decontaminate(self._ds(), ray.put(np.zeros(0, np.uint64))).to_pandas()
         assert not out.contaminated.any()
+
+
+class TestHotBandGuardAllKernels:
+    """VERDICT r03 #1: the guard (identical-sig star edges, chunk split,
+    representative bridges) must bound EVERY band-verify kernel, not just
+    MinHash — a degenerate band key (boilerplate, parked domains) is O(g)
+    edges and near-O(g) work, never O(g^2)."""
+
+    def test_simhash_degenerate_group_is_linear(self):
+        import time
+
+        from qwen_ocr_ray.stages.dedup_text import simhash_pairs_in_bucket
+
+        g = 10_000
+        sig = 0x0123456789ABCDEF - (1 << 63)
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * g, pa.int32()),
+                "band_key": pa.array([42] * g, pa.int64()),
+                "doc_id": pa.array(list(range(g)), pa.int64()),
+                "sig": pa.array([sig] * g, pa.int64()),
+            }
+        )
+        t0 = time.perf_counter()
+        pairs = simhash_pairs_in_bucket(t, 3).to_pandas()
+        elapsed = time.perf_counter() - t0
+        assert len(pairs) == g - 1          # star edges, linear in g
+        assert (pairs.doc_a == 0).all()
+        assert (pairs.hamming == 0).all()
+        assert elapsed < 5.0
+
+    def test_simhash_chunk_split_bounds_distinct_sigs(self):
+        from qwen_ocr_ray.stages.dedup_text import simhash_pairs_in_bucket
+
+        # 64 distinct far-apart sigs + 2 dups of sig 0, max_group=8
+        rng = np.random.RandomState(5)
+        sigs = [int(x) for x in rng.randint(0, 2**63, size=64, dtype=np.int64)]
+        all_sigs = sigs + [sigs[0], sigs[0]]
+        ids = list(range(64)) + [100, 101]
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * len(ids), pa.int32()),
+                "band_key": pa.array([7] * len(ids), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(all_sigs, pa.int64()),
+            }
+        )
+        pairs = simhash_pairs_in_bucket(t, 3, max_group=8).to_pandas()
+        found = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (0, 100) in found and (0, 101) in found  # star edges survive split
+
+    def test_ngram_degenerate_group_is_linear(self):
+        import time
+
+        from qwen_ocr_ray.stages.dedup_text import ngram_verify_in_bucket, BOTTOM_K
+
+        sk = bottomk_sketch(shingle_hashes(BASE * 3), BOTTOM_K).tobytes()
+        g = 5_000
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * g, pa.int32()),
+                "band_key": pa.array([9] * g, pa.int64()),
+                "doc_id": pa.array(list(range(g)), pa.int64()),
+                "signature": pa.array([sk] * g, pa.binary()),
+            }
+        )
+        t0 = time.perf_counter()
+        pairs = ngram_verify_in_bucket(t, 0.5).to_pandas()
+        elapsed = time.perf_counter() - t0
+        assert len(pairs) == g - 1
+        assert (pairs.doc_a == 0).all()
+        assert (pairs.est_jaccard == 1.0).all()
+        assert elapsed < 5.0
+
+    def test_lsh_degenerate_group_is_linear_and_zero_vec_suppressed(self):
+        import time
+
+        from qwen_ocr_ray.stages.similarity import lsh_verify_in_bucket
+
+        rng = np.random.RandomState(3)
+        v = rng.standard_normal(16)
+        v = (v / np.linalg.norm(v)).astype(np.float32).tobytes()
+        zero = np.zeros(16, dtype=np.float32).tobytes()
+        g = 5_000
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * (g + 3), pa.int32()),
+                "band_key": pa.array([1] * (g + 3), pa.int64()),
+                "vec_id": pa.array(list(range(g)) + [900, 901, 902], pa.int64()),
+                "vec": pa.array([v] * g + [zero] * 3, pa.binary()),
+            }
+        )
+        t0 = time.perf_counter()
+        pairs = lsh_verify_in_bucket(t, 0.9).to_pandas()
+        elapsed = time.perf_counter() - t0
+        star = pairs[pairs.doc_a == 0] if "doc_a" in pairs else pairs[pairs.vec_a == 0]
+        assert len(star) == g - 1           # identical vectors -> star edges
+        assert (star.score >= 0.9).all()
+        # zero vectors: self-cosine 0 < threshold -> NO star edges among them
+        assert not ((pairs.vec_a == 900) & (pairs.vec_b.isin([901, 902]))).any()
+        assert elapsed < 5.0
+
+    def test_lsh_chunk_split_keeps_planted_pair(self):
+        from qwen_ocr_ray.stages.similarity import lsh_verify_in_bucket
+
+        rng = np.random.RandomState(13)
+        base = rng.standard_normal((40, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        vecs = [r.astype(np.float32).tobytes() for r in base]
+        vecs += [vecs[5], vecs[5]]          # byte-identical dups of vec 5
+        ids = list(range(40)) + [200, 201]
+        t = pa.table(
+            {
+                "band_id": pa.array([0] * len(ids), pa.int32()),
+                "band_key": pa.array([1] * len(ids), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "vec": pa.array(vecs, pa.binary()),
+            }
+        )
+        pairs = lsh_verify_in_bucket(t, 0.95, max_group=8).to_pandas()
+        found = set(zip(pairs.vec_a, pairs.vec_b))
+        assert (5, 200) in found and (5, 201) in found
