@@ -166,12 +166,13 @@ def sized_read_parquet(
     if total_rows == 0 or n_rgs <= len(files):
         # Unsplittable (one row group per file): the read itself is serial
         # per file, but re-chunk its output (SplitBlocks) so downstream
-        # stage parallelism still covers the session.
-        nb = _path_bytes(path) // (16 << 20)
+        # stage parallelism still covers the session. Pass the EXPANDED file
+        # list — ray.data.read_parquet rejects directories inside a list.
+        nb = _path_bytes(files) // (16 << 20)
         if nb > 512:
-            return ray.data.read_parquet(path, columns=columns)
+            return ray.data.read_parquet(files, columns=columns)
         return ray.data.read_parquet(
-            path, columns=columns,
+            files, columns=columns,
             override_num_blocks=max(8, _session_cpus(), int(nb)),
         )
     # Size by the SELECTED columns' uncompressed bytes (per-column-chunk

@@ -1006,17 +1006,21 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
 # --- IVF approximate top-k (scale path; rows-only) ----------------------------
 
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF top-k: centroids trained on the (small) corpus sample, query probes
-    nprobe cells. Approximate; rows-only check."""
+    """IVF top-k the index-shaped way: a one-time cell-assignment pass writes
+    the corpus as cell-partitioned parquet (cached, amortized over queries),
+    then the probe READS only the query's nprobe cells — ~nprobe/k of corpus
+    bytes — instead of scanning and masking every row. Approximate;
+    rows-only check."""
     from qwen_ocr_ray.stages.similarity import (
-        _normalize, ivf_topk, kmeans_centroids, load_query_vector, sample_embeddings,
+        _normalize, build_ivf_index, ivf_topk_indexed, kmeans_centroids,
+        load_query_vector, sample_embeddings,
     )
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     query = _normalize(load_query_vector(path, 0)[None, :])[0]
     centroids = kmeans_centroids(_normalize(sample_embeddings(path)), k=16)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, query, k=6, centroids=centroids, nprobe=3)
+    idx = build_ivf_index(path, centroids)
+    out = ivf_topk_indexed(idx, query, k=6, centroids=centroids, nprobe=3)
     return out.map_batches(
         lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
     )
@@ -2000,17 +2004,21 @@ SELECT q, value FROM read_parquet('{_ORACLE01}/value_quantiles.parquet')
 
 
 def q_ann_ivf_full(sf_dir: str):
-    """IVF top-k probing ALL cells: must equal brute force exactly (the
-    machinery-correctness complement to the approximate ann_ivf_topk)."""
+    """IVF top-k probing ALL cells of the built index: must equal brute
+    force exactly (the machinery-correctness complement to the approximate
+    ann_ivf_topk — proves the partitioned index covers the corpus)."""
     from qwen_ocr_ray.stages.similarity import (
-        _normalize, ivf_topk, kmeans_centroids, load_query_vector, sample_embeddings,
+        _normalize, build_ivf_index, ivf_topk_indexed, kmeans_centroids,
+        load_query_vector, sample_embeddings,
     )
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     query = _normalize(load_query_vector(path, 0)[None, :])[0]
     centroids = kmeans_centroids(_normalize(sample_embeddings(path)), k=16)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, query, k=6, centroids=centroids, nprobe=len(centroids))
+    idx = build_ivf_index(path, centroids)
+    out = ivf_topk_indexed(
+        idx, query, k=6, centroids=centroids, nprobe=len(centroids)
+    )
     return out.map_batches(
         lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
     )

@@ -393,3 +393,103 @@ class TestRowGroupDatasourceMetadata:
         for t in tasks:
             blocks = t.read_fn()
             assert sum(b.num_rows for b in blocks) == t.metadata.num_rows
+
+
+class TestIvfIndexed:
+    def test_index_probe_matches_scan_and_prunes_bytes(self, ray_session, tmp_path):
+        """The built index must (a) give identical results to the one-shot
+        scan path, (b) read only the probed cells' bytes (<= nprobe/k of the
+        corpus with slack for uneven cells), and (c) cover the corpus exactly
+        when probing all cells."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from qwen_ocr_ray.stages.similarity import (
+            _normalize,
+            build_ivf_index,
+            ivf_probe_dirs,
+            ivf_topk,
+            ivf_topk_indexed,
+            kmeans_centroids,
+        )
+
+        rng = np.random.RandomState(5)
+        base = _normalize(rng.standard_normal((600, 16)))
+        vecs = np.vstack([base, base[9]])  # id 600 == id 9
+        t = pa.table(
+            {
+                "vec_id": pa.array(list(range(601)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(t, path, row_group_size=64)
+        cents = kmeans_centroids(vecs, k=8)
+        idx = build_ivf_index(path, cents, index_dir=str(tmp_path / "ivf"))
+        assert os.path.exists(os.path.join(idx, "_SUCCESS"))
+
+        q = base[9]
+        got = ivf_topk_indexed(idx, q, k=4, centroids=cents, nprobe=2).to_pandas()
+        ref = ivf_topk(
+            ray.data.from_arrow(t), q, k=4, centroids=cents, nprobe=2
+        ).to_pandas()
+        assert got.vec_id.tolist() == ref.vec_id.tolist()
+        assert got.score.tolist() == ref.score.tolist()
+        assert {9, 600} <= set(got.vec_id)
+
+        # pruned read: probed-cell bytes are a strict minority of the index
+        def dir_bytes(d):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d) for f in fs
+            )
+
+        probed = ivf_probe_dirs(idx, q, cents, nprobe=2)
+        assert len(probed) == 2
+        cell_dirs = [
+            os.path.join(idx, d) for d in os.listdir(idx) if d.startswith("cell=")
+        ]
+        total = sum(dir_bytes(d) for d in cell_dirs)
+        read = sum(dir_bytes(d) for d in probed)
+        assert read <= total * (2 / 8) * 2.5  # nprobe/k with skew slack
+
+        # probing all cells == brute force coverage (the index loses no rows)
+        full = ivf_topk_indexed(
+            idx, q, k=601, centroids=cents, nprobe=len(cents)
+        ).to_pandas()
+        assert len(full) == 601
+
+    def test_build_is_idempotent(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.stages.similarity import (
+            _normalize, build_ivf_index, kmeans_centroids,
+        )
+
+        rng = np.random.RandomState(7)
+        vecs = _normalize(rng.standard_normal((50, 8)))
+        t = pa.table(
+            {
+                "vec_id": pa.array(list(range(50)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(t, path)
+        cents = kmeans_centroids(vecs, k=4)
+        idx1 = build_ivf_index(path, cents, index_dir=str(tmp_path / "ivf"))
+        import os
+        mtime = os.path.getmtime(os.path.join(idx1, "_SUCCESS"))
+        idx2 = build_ivf_index(path, cents, index_dir=str(tmp_path / "ivf"))
+        assert idx1 == idx2
+        assert os.path.getmtime(os.path.join(idx2, "_SUCCESS")) == mtime
