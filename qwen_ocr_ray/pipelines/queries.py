@@ -2465,3 +2465,35 @@ ORACLE.update(
         "pack_chunks": SQL_PACK_CHUNKS,
     }
 )
+
+
+# --- driver sampling rotation ---------------------------------------------------
+# The driver certifies at most ~50 queries per round, taken in registration
+# order (CORRECTNESS_r03 sampled exactly the first 50). Rotate so
+# never-yet-certified and changed-this-round queries land inside the sample
+# window; long-stable queries (green in r01-r03, kernels untouched) take the
+# tail. VERDICT r03 next-steps #3.
+_CERT_PRIORITY = [
+    # never driver-certified (registered late in r03)
+    "length_percentiles", "pack_chunks", "repetition_scores",
+    "token_doc_freq", "train_val_split",
+    # last certified in r02
+    "events_hopping_window", "media_image_resize",
+    # kernels changed this round: hot-band guard (band_guard.py), IVF
+    # index (build_ivf_index/ivf_topk_indexed), zero-copy _matrix,
+    # range-join streaming collect, sketch null semantics
+    "minhash_pairs", "ngram_jaccard_pairs", "simhash_near_pairs",
+    "embedding_near_dup_lsh", "embedding_dedup_filter", "near_dup_clusters",
+    "ann_topk", "ann_ivf_topk", "ann_ivf_full", "embedding_pairs",
+    "approx_distinct_users", "approx_value_quantiles", "event_followups",
+    "training_prep",
+]
+
+
+def _rotate_for_certification(q: dict) -> dict:
+    head = {k: q[k] for k in _CERT_PRIORITY if k in q}
+    head.update({k: v for k, v in q.items() if k not in head})
+    return head
+
+
+QUERIES = _rotate_for_certification(QUERIES)
