@@ -45,6 +45,23 @@ class EngineConfig:
     # Skew handling: number of salt buckets for hot domains.
     salt_buckets: int = 16
 
+    # Dollar-cost accounting (reference: main.py:56,268-283 tracks a
+    # total_cost per job next to the token totals). Price per MILLION
+    # tokens; defaults 0.0 = cost reporting off but fields present.
+    price_per_m_input_tokens: float = 0.0
+    price_per_m_output_tokens: float = 0.0
+
+
+def token_cost(cfg: EngineConfig, input_tokens: int, output_tokens: int) -> float:
+    """Dollar cost of a (input, output) token total under ``cfg`` pricing,
+    rounded to 4 decimals (the reference displays ``${total_cost:.4f}``,
+    main.py:271)."""
+    return round(
+        (input_tokens or 0) / 1e6 * cfg.price_per_m_input_tokens
+        + (output_tokens or 0) / 1e6 * cfg.price_per_m_output_tokens,
+        4,
+    )
+
 
 # Message-assembly literals (reference: src/config.py:156-163). These are part
 # of the byte-exact contract for context/breadcrumb rendering.

@@ -287,12 +287,30 @@ def run_sharded_extraction(
             import pyarrow.parquet as pq
 
             files = [f for f in os.listdir(final_dir) if f.endswith(".parquet")]
+            tok_in = tok_out = 0
+            for f in files:
+                fp = os.path.join(final_dir, f)
+                schema_names = pq.read_schema(fp).names
+                cols = [c for c in ("input_tokens", "output_tokens") if c in schema_names]
+                if cols:
+                    import pyarrow.compute as _pc
+
+                    tt = pq.read_table(fp, columns=cols)
+                    if "input_tokens" in cols:
+                        tok_in += _pc.sum(tt["input_tokens"]).as_py() or 0
+                    if "output_tokens" in cols:
+                        tok_out += _pc.sum(tt["output_tokens"]).as_py() or 0
+            from qwen_ocr_ray.config import token_cost
+
             manifest.update(
                 status="done",
                 rows_out=sum(
                     pq.read_metadata(os.path.join(final_dir, f)).num_rows for f in files
                 ),
                 bytes_out=sum(os.path.getsize(os.path.join(final_dir, f)) for f in files),
+                input_tokens=int(tok_in),
+                output_tokens=int(tok_out),
+                cost=token_cost(cfg, tok_in, tok_out),
                 wall_s=round(time.perf_counter() - t0, 3),
             )
             ok = True

@@ -113,6 +113,9 @@ class TestShardedResume:
         assert man["status"] == "done"
         assert man["input_files"] and all(os.path.exists(p) for p in man["input_files"])
         assert man["rows_out"] >= 0 and man["bytes_out"] > 0 and man["wall_s"] > 0
+        # token + dollar-cost accounting (reference main.py:56,268-283)
+        assert man["input_tokens"] >= 0 and man["output_tokens"] >= 0
+        assert man["cost"] == 0.0  # default pricing is 0.0/Mtok
 
     def test_inline_strategy_crash_resume_identical(self, synth, tmp_path_factory):
         """Checkpoint-free input sharding (row-group ranges + fused kernel):

@@ -493,3 +493,23 @@ class TestIvfIndexed:
         idx2 = build_ivf_index(path, cents, index_dir=str(tmp_path / "ivf"))
         assert idx1 == idx2
         assert os.path.getmtime(os.path.join(idx2, "_SUCCESS")) == mtime
+
+
+class TestTokenCost:
+    def test_pricing_formula_and_default_off(self):
+        from qwen_ocr_ray.config import EngineConfig, token_cost
+
+        cfg = EngineConfig(
+            price_per_m_input_tokens=0.8, price_per_m_output_tokens=2.4
+        )
+        assert token_cost(cfg, 1_000_000, 500_000) == 2.0
+        assert token_cost(EngineConfig(), 123_456, 654_321) == 0.0
+        assert token_cost(cfg, None, None) == 0.0  # all-null token columns
+
+    def test_pricing_survives_config_roundtrip(self, tmp_path):
+        from qwen_ocr_ray.config import EngineConfig, load_json, save_json
+
+        cfg = EngineConfig(price_per_m_input_tokens=1.5)
+        p = str(tmp_path / "cfg.json")
+        save_json(cfg, p)
+        assert load_json(p).price_per_m_input_tokens == 1.5
