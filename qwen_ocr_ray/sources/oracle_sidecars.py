@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 3  # v3: hot-band guard in simhash/ngram/lsh verify kernels
+ORACLE_VERSION = 4  # v3: hot-band guard in verify kernels; v4: approx_bpe_tokens
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -158,7 +158,9 @@ def expected_lang_quality(docs: pa.Table) -> pa.Table:
                 [np.float32(round(stopword_ratio(s, l), 4)) for s, l in zip(texts, langs)],
                 pa.float32(),
             ),
-            "bpe_tokens": pa.array([bpe_ish_token_count(s) for s in texts], pa.int64()),
+            "approx_bpe_tokens": pa.array(
+                [bpe_ish_token_count(s) for s in texts], pa.int64()
+            ),
             "n_fingerprints": pa.array(
                 [len(rolling_fingerprints(s)) for s in texts], pa.int64()
             ),
