@@ -269,6 +269,38 @@ class OpenAICompatBackend:
 
         return self._retry(call)
 
+    def detect_figures_window(
+        self, pages: list[tuple[int, bytes, int, int]], context: str = ""
+    ) -> list[dict]:
+        """One structured-output figure call for a whole page batch — the
+        shape of the reference's per-batch image task
+        (document_job.py:163-273 sends all batch_images in one request).
+        Malformed JSON degrades to zero figures, like the per-page call."""
+        import json
+
+        from qwen_ocr_ray.functions.payload import build_image_content, build_messages
+
+        content, _ = build_image_content(pages, downscale=False)
+        messages = build_messages(FIGURES_SYSTEM_PROMPT, context, content, len(pages))
+
+        def call():
+            resp = self.client.chat.completions.create(
+                model=self.model,
+                messages=messages,
+                response_format={"type": "json_object"},
+            )
+            parsed = json.loads(resp.choices[0].message.content or "{}")
+            from pydantic import ValidationError
+
+            from qwen_ocr_ray.functions.figure_schema import validate_figures
+
+            try:
+                return validate_figures(parsed)
+            except ValidationError:
+                return []
+
+        return self._retry(call)
+
 
 def _count_output_tokens(text: str) -> int:
     """Output-token accounting (reference: tiktoken re-encode per delta,
@@ -393,9 +425,35 @@ class TranscribeDocumentsLive:
     test_stages.test_fold_matches_local_reference).
     """
 
-    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, **backend_kwargs):
+    FIGURE_STRUCT = pa.struct(
+        [
+            ("page_num", pa.int32()),
+            ("fig_number", pa.int32()),
+            ("x1", pa.int32()),
+            ("y1", pa.int32()),
+            ("x2", pa.int32()),
+            ("y2", pa.int32()),
+            ("caption", pa.string()),
+            ("element_type", pa.string()),
+        ]
+    )
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG,
+                 detect_figures: bool = False, **backend_kwargs):
         self.cfg = cfg
+        self.detect_figures = detect_figures
         self.backend = OpenAICompatBackend(cfg, **backend_kwargs)
+        # One page-image pass serves BOTH calls: the text transcription and
+        # the structured-output figure call for a window run CONCURRENTLY
+        # (the reference's asyncio.TaskGroup per batch,
+        # document_job.py:338-362) — two threads because the stdlib client
+        # is synchronous; one in-flight window per document keeps the
+        # reference's strictly-sequential context carry.
+        self._pool = None
+        if detect_figures:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from qwen_ocr_ray.functions.markdown import (
@@ -407,29 +465,52 @@ class TranscribeDocumentsLive:
         )
 
         cfg = self.cfg
-        urls, texts, crumbs = [], [], []
+        urls, texts, crumbs, figures = [], [], [], []
         for url, pages in zip(batch["url"].to_pylist(), batch["pages"].to_pylist()):
             pages = sorted(pages, key=lambda p: p["page_num"])
             stack: list = []
             parts: list[str] = []
+            doc_figs: list[dict] = []
             n = len(pages)
             for _, ps, pe in batch_iterator(cfg.start_page, n, cfg.pages_per_batch):
-                window = pages[ps - 1 : pe]
+                window = [
+                    (p["page_num"], p["image"], p["width"], p["height"])
+                    for p in pages[ps - 1 : pe]
+                ]
                 context = build_context(stack)
-                raw = self.backend.transcribe_window(
-                    [(p["page_num"], p["image"], p["width"], p["height"]) for p in window],
-                    context,
-                )
+                if self._pool is not None:
+                    text_f = self._pool.submit(
+                        self.backend.transcribe_window, window, context
+                    )
+                    figs_f = self._pool.submit(
+                        self.backend.detect_figures_window, window, context
+                    )
+                    raw = text_f.result()
+                    doc_figs.extend(
+                        {
+                            "page_num": f["page_number"],
+                            "fig_number": f["fig_number"],
+                            "x1": f["x1"], "y1": f["y1"],
+                            "x2": f["x2"], "y2": f["y2"],
+                            "caption": f.get("caption"),
+                            "element_type": f.get("element_type", "other"),
+                        }
+                        for f in figs_f.result()
+                    )
+                else:
+                    raw = self.backend.transcribe_window(window, context)
                 cleaned = clean_markdown_output(raw)
                 parts.append(cleaned)
                 stack = update_header_stack(stack, extract_headers(cleaned))
             urls.append(url)
             texts.append("".join(parts))
             crumbs.append(build_context(stack))
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "text": pa.array(texts, pa.string()),
-                "final_breadcrumb": pa.array(crumbs, pa.string()),
-            }
-        )
+            figures.append(doc_figs)
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "final_breadcrumb": pa.array(crumbs, pa.string()),
+        }
+        if self.detect_figures:
+            cols["figures"] = pa.array(figures, pa.list_(self.FIGURE_STRUCT))
+        return pa.table(cols)

@@ -9,7 +9,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
@@ -29,10 +30,28 @@ class _StubHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         model = body["model"]
+        is_json_mode = body.get("response_format", {}).get("type") == "json_object"
         self.state.setdefault("requests", []).append(
             {"model": model, "stream": body.get("stream", False),
+             "json_mode": is_json_mode,
              "auth": self.headers.get("Authorization")}
         )
+        if model == "m-slow-both":
+            # concurrency probe: each call takes 0.5 s; a text+figures pair
+            # issued concurrently completes in well under 1.0 s
+            time.sleep(0.5)
+        if is_json_mode and model in ("m-both", "m-slow-both"):
+            content = json.dumps(
+                {"images": [{"page_number": 1, "fig_number": 1, "x1": 10,
+                             "y1": 10, "x2": 500, "y2": 400,
+                             "caption": "Figure 1: live", "element_type": "chart"}]}
+            )
+            resp = {"choices": [{"message": {"content": content}}]}
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps(resp).encode())
+            return
         if model == "m-429-twice":
             n = self.state["attempts"] = self.state.get("attempts", 0) + 1
             if n <= 2:
@@ -74,7 +93,7 @@ class _StubHandler(BaseHTTPRequestHandler):
 @pytest.fixture()
 def stub_server():
     handler = type("H", (_StubHandler,), {"state": {}})
-    srv = HTTPServer(("127.0.0.1", 0), handler)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}/v1", handler.state
@@ -138,3 +157,78 @@ class TestLiveBackendAgainstStub:
         with pytest.raises(Exception) as ei:
             be.transcribe_page(*PAGE)
         assert not isinstance(ei.value, RuntimeError) or "Max retries" not in str(ei.value)
+
+
+class TestConcurrentTextAndFigures:
+    def test_one_image_pass_serves_both_calls(self, stub_server):
+        """The live document actor runs the text transcription and the
+        structured-output figure call for a window CONCURRENTLY over the
+        same optimized page batch (reference document_job.py:338-362 runs
+        both under one asyncio.TaskGroup): exactly two HTTP calls per
+        window, overlapped in time."""
+        import pyarrow as pa
+
+        from qwen_ocr_ray.stages.inference import TranscribeDocumentsLive
+
+        url, state = stub_server
+        cfg = dataclasses.replace(DEFAULT_CONFIG, exponential_backoff_base=0)
+        actor = TranscribeDocumentsLive(
+            cfg, detect_figures=True, base_url=url, api_key="test-key",
+            model="m-slow-both",
+        )
+        page_t = pa.struct(
+            [("page_num", pa.int32()), ("image", pa.binary()),
+             ("width", pa.int32()), ("height", pa.int32())]
+        )
+        batch = pa.table(
+            {
+                "url": pa.array(["https://x.org/d1"], pa.string()),
+                "pages": pa.array(
+                    [[
+                        {"page_num": 1, "image": b"\xff" * 48, "width": 4, "height": 4},
+                        {"page_num": 2, "image": b"\x00" * 48, "width": 4, "height": 4},
+                    ]],
+                    pa.list_(page_t),
+                ),
+            }
+        )
+        t0 = time.perf_counter()
+        out = actor(batch)
+        wall = time.perf_counter() - t0
+        assert out["text"][0].as_py() == "## Streamed page"
+        figs = out["figures"][0].as_py()
+        assert len(figs) == 1
+        assert figs[0]["element_type"] == "chart" and figs[0]["x2"] == 500
+        reqs = state["requests"]
+        # ONE text call (streamed) + ONE figure call (json mode) per window
+        assert len(reqs) == 2
+        assert sorted(r["json_mode"] for r in reqs) == [False, True]
+        # both 0.5 s calls overlapped: sequential would be >= 1.0 s
+        assert wall < 0.95
+
+    def test_detect_figures_off_keeps_schema(self, stub_server):
+        import pyarrow as pa
+
+        from qwen_ocr_ray.stages.inference import TranscribeDocumentsLive
+
+        url, _ = stub_server
+        cfg = dataclasses.replace(DEFAULT_CONFIG, exponential_backoff_base=0)
+        actor = TranscribeDocumentsLive(
+            cfg, base_url=url, api_key="test-key", model="m-ok"
+        )
+        page_t = pa.struct(
+            [("page_num", pa.int32()), ("image", pa.binary()),
+             ("width", pa.int32()), ("height", pa.int32())]
+        )
+        batch = pa.table(
+            {
+                "url": pa.array(["https://x.org/d1"], pa.string()),
+                "pages": pa.array(
+                    [[{"page_num": 1, "image": b"\xff" * 48, "width": 4, "height": 4}]],
+                    pa.list_(page_t),
+                ),
+            }
+        )
+        out = actor(batch)
+        assert out.column_names == ["url", "text", "final_breadcrumb"]
+        assert out["text"][0].as_py() == "## Streamed page"
