@@ -57,6 +57,55 @@ BENCH_QUERIES = [
 ]
 
 
+def _warm_pool(ray) -> None:
+    """Untimed: spin up the worker pool and trigger library imports in every
+    worker — in this sandbox 32-worker cold start costs tens of seconds and
+    would otherwise be charged (anti-proportionally) to the first pipeline.
+    The warm tasks BARRIER on each other so all NUM_CPUS workers must be
+    alive SIMULTANEOUSLY before timing starts: without it, N quick warm
+    tasks can be served by fewer workers while a straggler worker hangs
+    during start (documented sporadic behavior here), and the stall then
+    bleeds into the first timed pipeline (observed as a bimodal 12 s /
+    17-22 s 16-CPU leg; 3 consecutive in-process runs sit at 12.2-13.5 s)."""
+
+    @ray.remote(num_cpus=0)
+    class _Gate:
+        def __init__(self):
+            self.n = 0
+
+        def arrive(self) -> int:
+            self.n += 1
+            return self.n
+
+        def count(self) -> int:
+            return self.n
+
+    @ray.remote(num_cpus=1)
+    def _warm(gate, n: int, deadline_s: float) -> int:
+        import time as _t
+
+        import polars  # noqa: F401
+
+        import qwen_ocr_ray.stages.bucketing  # noqa: F401
+        import qwen_ocr_ray.functions.html_extract  # noqa: F401
+
+        ray.get(gate.arrive.remote())
+        t0 = _t.monotonic()
+        while ray.get(gate.count.remote()) < n:
+            if _t.monotonic() - t0 > deadline_s:
+                break  # don't deadlock if the cluster can't start n workers
+            _t.sleep(0.05)
+        return 1
+
+    gate = _Gate.remote()
+    ray.get([_warm.remote(gate, NUM_CPUS, 60.0) for _ in range(NUM_CPUS)])
+    # Warm Ray Data's executor too (lazy module/executor init costs ~2 s on
+    # the FIRST dataset a process runs — a fixed per-process term that is
+    # not the engine's throughput; measured winner-scan 3.2 s cold vs 0.9 s
+    # warm at both 4 and 16 CPUs).
+    ray.data.range(NUM_CPUS).map_batches(lambda b: b).materialize()
+
+
 def run_bench() -> dict:
     # polars/pyarrow in ray workers must not each spawn a full thread pool
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
@@ -94,51 +143,7 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
-    # untimed: spin up the worker pool and trigger library imports in every
-    # worker — in this sandbox 32-worker cold start costs tens of seconds and
-    # would otherwise be charged (anti-proportionally) to the first pipeline.
-    # The warm tasks BARRIER on each other so all NUM_CPUS workers must be
-    # alive SIMULTANEOUSLY before timing starts: without it, N quick warm
-    # tasks can be served by fewer workers while a straggler worker hangs
-    # during start (documented sporadic behavior here), and the stall then
-    # bleeds into the first timed pipeline (observed as a bimodal 12 s /
-    # 17-22 s 16-CPU leg; 3 consecutive in-process runs sit at 12.2-13.5 s).
-    @ray.remote(num_cpus=0)
-    class _Gate:
-        def __init__(self):
-            self.n = 0
-
-        def arrive(self) -> int:
-            self.n += 1
-            return self.n
-
-        def count(self) -> int:
-            return self.n
-
-    @ray.remote(num_cpus=1)
-    def _warm(gate, n: int, deadline_s: float) -> int:
-        import time as _t
-
-        import polars  # noqa: F401
-
-        import qwen_ocr_ray.stages.bucketing  # noqa: F401
-        import qwen_ocr_ray.functions.html_extract  # noqa: F401
-
-        ray.get(gate.arrive.remote())
-        t0 = _t.monotonic()
-        while ray.get(gate.count.remote()) < n:
-            if _t.monotonic() - t0 > deadline_s:
-                break  # don't deadlock if the cluster can't start n workers
-            _t.sleep(0.05)
-        return 1
-
-    gate = _Gate.remote()
-    ray.get([_warm.remote(gate, NUM_CPUS, 60.0) for _ in range(NUM_CPUS)])
-    # Warm Ray Data's executor too (lazy module/executor init costs ~2 s on
-    # the FIRST dataset a process runs — a fixed per-process term that is
-    # not the engine's throughput; measured winner-scan 3.2 s cold vs 0.9 s
-    # warm at both 4 and 16 CPUs).
-    ray.data.range(NUM_CPUS).map_batches(lambda b: b).materialize()
+    _warm_pool(ray)
 
     if os.environ.get("QOR_BENCH_MODE") == "minhash":
         # compute-bound leg: minhash sketch + band explode + bucket count over
@@ -397,8 +402,88 @@ def run_scaling() -> dict:
     return out
 
 
+def run_dedup_stress() -> dict:
+    """Measured cost of the exchange-dedup fallback next to the broadcast
+    path on a HIGH-CONTENTION input (VERDICT r03 #5): ~35% contested urls —
+    far past the 'dup fraction is broadcastable' assumption the default
+    strategy rests on — at sf x QOR_STRESS_REPLICATE (default 16: ~80k
+    unique docs, ~108k rows). Both strategies run through the durable
+    checkpoint path in one session (pool warm for both; broadcast first, so
+    any residual cold-start bias hurts the INCUMBENT, not the fallback).
+    Prints one JSON line; record the numbers in BASELINE.md."""
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from qwen_ocr_ray.pipelines.extract import run_extraction
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    replicate = int(os.environ.get("QOR_STRESS_REPLICATE", "16"))
+    dup_rate = float(os.environ.get("QOR_STRESS_DUP_RATE", "0.35"))
+    pages_path, golden_path = ensure_pages_dataset(
+        SF_DIR, replicate=replicate, dup_rate=dup_rate
+    )
+    rows_in = pq.read_metadata(pages_path).num_rows
+    unique_docs = pq.read_metadata(golden_path).num_rows
+    with open(pages_path, "rb") as f:  # page-cache warm (untimed)
+        while f.read(1 << 24):
+            pass
+    _warm_pool(ray)
+
+    results: dict[str, dict] = {}
+    for strat in ("broadcast", "exchange"):
+        routed = f"/tmp/qor_stress_routed_{strat}_{os.getpid()}"
+        out_dir = f"/tmp/qor_stress_out_{strat}_{os.getpid()}"
+        shutil.rmtree(routed, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = run_extraction(
+            pages_path, routed_dir=routed, approx_rows=rows_in,
+            checkpoint="disk", dedup_strategy=strat,
+        )
+        ds.write_parquet(out_dir)
+        elapsed = time.perf_counter() - t0
+        n_docs = sum(
+            pq.read_metadata(os.path.join(out_dir, f)).num_rows
+            for f in os.listdir(out_dir) if f.endswith(".parquet")
+        )
+        results[strat] = {
+            "sec": round(elapsed, 3),
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / elapsed, 1),
+        }
+        shutil.rmtree(routed, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    assert results["broadcast"]["docs"] == results["exchange"]["docs"] == unique_docs
+    return {
+        "metric": "dedup_stress_sec",
+        "dup_rate": dup_rate,
+        "replicate": replicate,
+        "rows_in": rows_in,
+        "unique_docs": unique_docs,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+        "broadcast": results["broadcast"],
+        "exchange": results["exchange"],
+        "exchange_over_broadcast": round(
+            results["exchange"]["sec"] / results["broadcast"]["sec"], 3
+        ),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-stress" in sys.argv:
+        print(json.dumps(run_dedup_stress()))
     else:
         print(json.dumps(run_bench()))

@@ -918,9 +918,15 @@ def run_extraction(
     num_buckets: int | None = None,
     checkpoint: str = "auto",
     rasterize=None,
+    dedup_strategy: str = "broadcast",
 ) -> "ray.data.Dataset":
     """Build the extraction Dataset. ``num_buckets`` overrides both shuffles'
     bucket count (tests use it to prove distribution invariance).
+
+    ``dedup_strategy="exchange"`` selects the disk-based bucket-exchange
+    dedup (the 100 TB fallback when the contested-url fraction is too large
+    to broadcast); it requires the durable phase-A checkpoint, so pass
+    ``checkpoint="disk"`` with it (the inline path is broadcast-only).
 
     ``rasterize`` injects a ``pdf_bytes -> list[(w, h, raw_rgb)]`` callable
     for IMAGE-ONLY PDFs (the reference's pdf2image capability,
@@ -943,6 +949,11 @@ def run_extraction(
         routed_dir = f"/tmp/qor_routed/{tag}"
     has_ckpt = os.path.exists(os.path.join(routed_dir, "_SUCCESS"))
     if checkpoint == "inline" or (checkpoint == "auto" and not has_ckpt):
+        if dedup_strategy != "broadcast":
+            raise ValueError(
+                "dedup_strategy='exchange' requires checkpoint='disk' "
+                "(the inline path streams with broadcast winners only)"
+            )
         if backend == "stub":
             return _inline_dataset(
                 pages_path, cfg, approx_rows=approx_rows, backend=backend,
@@ -963,7 +974,8 @@ def run_extraction(
         raise ValueError("rasterize is only supported on the fused inline stub path")
     os.makedirs(routed_dir, exist_ok=True)
     route_and_checkpoint(
-        pages_path, routed_dir, cfg, approx_rows=approx_rows, num_buckets=num_buckets
+        pages_path, routed_dir, cfg, approx_rows=approx_rows,
+        num_buckets=num_buckets, dedup_strategy=dedup_strategy,
     )
 
     branches: list[ray.data.Dataset] = []

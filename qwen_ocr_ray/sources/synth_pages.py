@@ -175,9 +175,17 @@ def _render_pdf(doc_id: int, text: str) -> tuple[bytes, str]:
 
 # --- table assembly -----------------------------------------------------------
 
-def generate_pages_table(doc_table: pa.Table) -> tuple[pa.Table, pa.Table]:
+def generate_pages_table(
+    doc_table: pa.Table, dup_rate: float | None = None
+) -> tuple[pa.Table, pa.Table]:
     """documents rows -> (pages table, golden table). Pure per-row function of
-    (doc_id, text, lang); duplicate rows reference the previous doc's url."""
+    (doc_id, text, lang); duplicate rows reference the previous doc's url.
+
+    ``dup_rate=None`` (default) keeps the legacy ~2% stale-refetch planting
+    (``r % 50 == 7`` — byte-identical to every cached fixture). A float sets
+    the contested-url fraction explicitly — the high-dup stress fixture
+    (>=30%) that breaks the broadcast-dedup assumption on purpose, for
+    exercising ``dedup_strategy="exchange"``."""
     urls: list[str] = []
     ts: list[_dt.datetime] = []
     htmls: list[bytes] = []
@@ -230,9 +238,12 @@ def generate_pages_table(doc_table: pa.Table) -> tuple[pa.Table, pa.Table]:
         g_kinds.append(kind)
         g_texts.append(expected)
 
-        # ~2% exact-duplicate url with a LATER fetch and different payload;
-        # dedup (first fetch wins) must keep the row above.
-        if r % 50 == 7:
+        # exact-duplicate url with a LATER fetch and different payload;
+        # dedup (first fetch wins) must keep the row above. Default ~2%.
+        plant_dup = (
+            (r % 50 == 7) if dup_rate is None else (r % 1000) < int(dup_rate * 1000)
+        )
+        if plant_dup:
             urls.append(url)
             ts.append(warc_ts + _dt.timedelta(days=30))
             htmls.append(b"<html><body><article><p>stale refetch duplicate</p></article></body></html>")
@@ -259,7 +270,8 @@ def generate_pages_table(doc_table: pa.Table) -> tuple[pa.Table, pa.Table]:
 
 
 def ensure_pages_dataset(
-    sf_dir: str, cache_root: str = "/tmp/qor_pages", replicate: int = 1
+    sf_dir: str, cache_root: str = "/tmp/qor_pages", replicate: int = 1,
+    dup_rate: float | None = None,
 ) -> tuple[str, str]:
     """Generate-and-cache pages.parquet + golden.parquet for an sf dir.
 
@@ -274,6 +286,8 @@ def ensure_pages_dataset(
     tag = os.path.basename(os.path.normpath(sf_dir)) + f"_v{GEN_VERSION}"
     if replicate > 1:
         tag = f"{tag}_x{replicate}"
+    if dup_rate is not None:
+        tag = f"{tag}_dup{int(dup_rate * 1000)}"
     out_dir = os.path.join(cache_root, tag)
     pages_path = os.path.join(out_dir, "pages.parquet")
     golden_path = os.path.join(out_dir, "golden.parquet")
@@ -302,7 +316,7 @@ def ensure_pages_dataset(
                 "lang": pa.array(rep_langs, pa.string()),
             }
         )
-    pages, golden = generate_pages_table(docs)
+    pages, golden = generate_pages_table(docs, dup_rate=dup_rate)
     for path, table in ((pages_path, pages), (golden_path, golden)):
         tmp = path + f".tmp.{os.getpid()}"
         pq.write_table(table, tmp, row_group_size=1024)

@@ -206,3 +206,53 @@ def test_training_prep_near_dup_stage(ray_session, tmp_path):
     # the unrelated doc always survives; the dropped url is one of the pair
     assert f"/articles/{ids[2]}" in "".join(kept.url)
     assert any(f"/articles/{i}" in d for d in dropped for i in ids[:2])
+
+def test_high_dup_exchange_end_to_end(ray_session, tmp_path_factory):
+    """The 100 TB broadcast-dedup fallback, stressed: a fixture with ~35%
+    CONTESTED urls (far past the 'dup fraction is broadcastable' assumption)
+    runs end-to-end through dedup_strategy='exchange', produces exactly the
+    golden (one row per unique url, first fetch wins, zero stale payloads),
+    and matches the broadcast strategy row-for-row."""
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, golden_path = ensure_pages_dataset(
+        "/root/testdata/sf0.001", dup_rate=0.35
+    )
+    meta_rows = pq_.read_metadata(pages_path).num_rows
+    golden = pq_.read_table(golden_path).to_pandas()
+    # fixture sanity: contested fraction really is ~35%
+    dup_frac = (meta_rows - len(golden)) / len(golden)
+    assert 0.30 <= dup_frac <= 0.40
+
+    outs = {}
+    for strat in ("broadcast", "exchange"):
+        routed = str(tmp_path_factory.mktemp(f"hd_{strat}"))
+        ds = run_extraction(
+            pages_path, routed_dir=routed, approx_rows=meta_rows,
+            checkpoint="disk", dedup_strategy=strat,
+        )
+        outs[strat] = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        shutil.rmtree(routed, ignore_errors=True)
+
+    for strat, out in outs.items():
+        assert len(out) == len(golden), strat
+        m = out.merge(golden, on="url", suffixes=("", "_exp"))
+        assert (m.text == m.text_exp).all(), strat
+        assert not m.text.str.contains("stale refetch").any(), strat
+    a, b = outs["broadcast"], outs["exchange"]
+    assert a.url.tolist() == b.url.tolist()
+    assert a.text.tolist() == b.text.tolist()
+
+
+def test_inline_rejects_exchange_strategy(ray_session, tmp_path_factory):
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset("/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="exchange"):
+        run_extraction(
+            pages_path, routed_dir=str(tmp_path_factory.mktemp("x")),
+            checkpoint="inline", dedup_strategy="exchange",
+        )
