@@ -94,6 +94,89 @@ def hll_estimate(regs: np.ndarray) -> int:
     return int(round(est))
 
 
+# --- frequent items (heavy hitters) --------------------------------------------
+
+def frequent_candidates(values: np.ndarray, phi: float) -> np.ndarray:
+    """Items whose LOCAL frequency in this block exceeds ``phi`` — the
+    per-block candidate kernel of two-pass exact heavy hitters (the candidate
+    set a Misra-Gries sketch with 1/phi counters would surface; we pre-count
+    the block with ``np.unique`` instead of MG decrements since the block is
+    already materialized — identical guarantee, vectorized).
+
+    Guarantee (pigeonhole over blocks b): if an item's GLOBAL frequency
+    exceeds phi then max_b c_b/N_b >= (sum_b c_b)/(sum_b N_b) > phi, so the
+    item is a candidate in at least one block — the UNION of per-block
+    candidates is a superset of the global >phi heavy hitters, with at most
+    floor(1/phi) candidates per block (bounded driver collect)."""
+    if len(values) == 0:
+        return values
+    vals, counts = np.unique(values, return_counts=True)
+    return vals[counts > phi * len(values)]
+
+
+# --- Bloom filter (approximate membership, mergeable by bitwise OR) ------------
+
+BLOOM_BITS_PER_KEY = 16   # m/n ratio; with k=11 hashes FP rate ~= 4.6e-4
+BLOOM_NUM_HASHES = 11     # ~= (m/n) ln 2, the optimal k for 16 bits/key
+
+
+def bloom_num_bits(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    """Power-of-two bit count sized from an UPPER BOUND on the key count
+    (e.g. parquet-footer row counts — no scan). Power of two so position
+    masking is a bit-and and every builder derives the same m."""
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    return m
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int,
+                     k: int = BLOOM_NUM_HASHES) -> np.ndarray:
+    """(n, k) bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_j = (h1 + j*h2) mod m — k independent-enough probes from two 64-bit
+    hashes (h2 forced odd so probes cycle the full power-of-two range)."""
+    j = np.arange(k, dtype=np.uint64)[None, :]
+    h2 = (h2 | np.uint64(1))[:, None]
+    return ((h1[:, None] + j * h2) & np.uint64(m - 1)).astype(np.int64)
+
+
+def bloom_fill(h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
+    """One block's keys -> an m-bit bitmap (uint8[m/8]). Bitmaps from any
+    block split OR together into the same filter (associative, order-free)."""
+    regs = np.zeros(m >> 3, dtype=np.uint8)
+    if len(h1):
+        pos = _bloom_positions(h1, h2, m).ravel()
+        np.bitwise_or.at(regs, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return regs
+
+
+def bloom_contains(regs: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (FP rate set by
+    sizing), False = DEFINITELY absent — the one-sided error that makes a
+    Bloom filter a safe dedup pre-filter (it never drops a genuinely new
+    document... it only ever lets the exact path see a few extra)."""
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    m = len(regs) << 3
+    pos = _bloom_positions(h1, h2, m)
+    bits = (regs[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return bits.all(axis=1)
+
+
+def md5_hash_pairs(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hashes per text (md5 digest halves) — the
+    exact-content fingerprint feeding the Bloom probes. md5 so a
+    single-process mirror (hashlib) is bit-identical on any platform."""
+    import hashlib
+
+    n = len(texts)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for i, s in enumerate(texts):
+        d = hashlib.md5(s.encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1, h2
+
+
 # --- bottom-k hash sample (uniform, mergeable) --------------------------------
 
 def bottomk_rows(hashes: np.ndarray, values: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

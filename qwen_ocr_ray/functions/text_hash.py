@@ -8,12 +8,14 @@ its inputs so results are stable across workers, retries and resume.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
 
 MERSENNE_P = (1 << 61) - 1  # modulus for universal hashing
 _SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 def word_hashes(text: str) -> np.ndarray:
@@ -41,6 +43,31 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     for i in range(1, k):
         acc = acc * _SHINGLE_A + w[i : len(w) - k + 1 + i]
     return np.unique(acc)
+
+
+def shingle_position_hashes(text: str, width: int = 8) -> np.ndarray:
+    """uint64 hash per word-``width``-gram POSITION, duplicates kept in
+    order — the exact-substring-dedup shingling (Lee et al. '22, "Deduplicating
+    Training Data Makes Language Models Better"). Unlike ``shingle_hashes``
+    (a SET for resemblance sketches), position multiplicity is the signal:
+    a span repeated across (or within) documents shows up once per
+    occurrence. Tokens are ``[a-z0-9]+`` runs of the lowercased text so the
+    DuckDB oracle can rebuild the identical shingle stream with
+    ``regexp_extract_all``; documents shorter than ``width`` tokens emit no
+    shingles (mirrored by the oracle's ``len(ws) >= width`` guard)."""
+    words = _TOKEN_RE.findall(text.lower())
+    n = len(words)
+    if n < width:
+        return np.zeros(0, dtype=np.uint64)
+    lo = np.fromiter((zlib.crc32(w.encode()) for w in words), dtype=np.uint64, count=n)
+    hi = np.fromiter(
+        (zlib.crc32(w.encode(), 0xBEEF) for w in words), dtype=np.uint64, count=n
+    )
+    w = (hi << np.uint64(32)) | lo
+    acc = w[: n - width + 1].copy()
+    for i in range(1, width):
+        acc = acc * _SHINGLE_A + w[i : n - width + 1 + i]
+    return acc
 
 
 def minhash_signature(hashes: np.ndarray, num_perm: int = 64, seed: int = 12345) -> np.ndarray:

@@ -2476,6 +2476,155 @@ ORACLE.update(
 )
 
 
+# --- substring dedup / heavy hitters / stratified sampling (round 4) -----------
+
+SUBSTRING_WIDTH = 8  # word-shingle width for exact-substring duplication
+
+
+def q_substring_dup_stats(sf_dir: str):
+    """Exact-substring duplication stats (Lee et al. '22, shingle form):
+    per-document count and fraction of word-8-gram positions whose shingle
+    occurs >= 2 times corpus-wide. The substring-level complement of the
+    document-level dedup suite — see stages/substring.py for the
+    hash-bucketed exchange shape (only (hash, count) partials shuffle)."""
+    from qwen_ocr_ray.stages.substring import substring_dup_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_stats(
+        ds, width=SUBSTRING_WIDTH,
+        num_buckets=_auto_buckets(sf_dir, "documents", rows_per_bucket=25_000),
+    )
+
+
+SQL_SUBSTRING_DUP_STATS = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+{SUBSTRING_WIDTH - 1}], ' ') AS shingle
+  FROM w, UNNEST(range(1, len(ws) - {SUBSTRING_WIDTH - 2})) AS t(i)
+  WHERE len(ws) >= {SUBSTRING_WIDTH}
+), tot AS (
+  SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / COUNT(*) AS dup_frac
+FROM sh JOIN tot USING (shingle)
+GROUP BY doc_id
+"""
+
+
+HH_PHI = 1.0 / 150.0  # heavy-hitter frequency threshold
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Two-pass EXACT heavy hitters: users with > phi of all events.
+
+    Pass 1 is the sketch: per-block frequent-item candidates
+    (functions/sketch.frequent_candidates — pigeonhole guarantees the union
+    over blocks is a superset of the global heavy hitters, at most 1/phi
+    rows per block, so the driver collect is bounded by 1/phi x blocks
+    regardless of corpus size). Pass 2 broadcasts the candidate set and
+    exact-counts ONLY those keys (partial-combiner grouped_sums), then
+    applies the exact global threshold — the classic candidate+verify shape
+    that turns an unbounded groupby into a bounded one at 10^12 rows."""
+    import ray as _ray
+
+    from qwen_ocr_ray.functions.sketch import frequent_candidates
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def cands(t: pa.Table) -> pa.Table:
+        c = frequent_candidates(
+            t["user_id"].to_numpy(zero_copy_only=False), HH_PHI
+        )
+        return pa.table({"user_id": pa.array(c, pa.int64())})
+
+    cand_ids: set[int] = set()
+    for b in ds.map_batches(cands, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        cand_ids.update(b["user_id"].to_pylist())
+
+    n_total = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
+    cutoff = n_total * HH_PHI  # int > double compare, bit-identical to SQL
+    ref = _ray.put(pa.array(sorted(cand_ids), pa.int64()))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["user_id"], value_set=_ray.get(ref)))
+        return t.append_column("ones", pa.array([1] * t.num_rows, pa.int64()))
+
+    counted = grouped_sums(
+        ds.map_batches(keep_candidates, batch_format="pyarrow"),
+        keys=["user_id"], sum_cols={"ones": "n_events"},
+    )
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater(t["n_events"], pa.scalar(cutoff, pa.float64()))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 150.0
+"""
+
+
+# deterministic multiplicative hash, overflow-safe in BIGINT on both engines:
+# (doc_id % 1000003) * 2654435761 <= 2.7e15 << 2^63
+STRAT_PRIME = 1000003
+STRAT_MUL = 2654435761
+STRAT_MOD = 1 << 32
+STRAT_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.125}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language stratified sampling by deterministic content-free hash —
+    the corpus-mixing primitive (keep 50% en, 25% de/es/fr, 12.5% zh).
+    A pure vectorized map: no shuffle, no RNG state, identical verdict on
+    any block split / retry / resume; the SQL oracle reruns the identical
+    integer arithmetic."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    thresholds = {l: int(r * STRAT_MOD) for l, r in STRAT_RATES.items()}
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids % STRAT_PRIME) * STRAT_MUL % STRAT_MOD
+        cut = np.zeros(len(ids), dtype=np.int64)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        for lang, thr in thresholds.items():
+            cut[langs == lang] = thr
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id % {STRAT_PRIME}) * {STRAT_MUL}) % {STRAT_MOD} <
+      CASE lang
+           {' '.join(f"WHEN '{l}' THEN {int(r * STRAT_MOD)}" for l, r in STRAT_RATES.items())}
+           ELSE 0 END
+"""
+
+QUERIES.update(
+    {
+        "substring_dup_stats": q_substring_dup_stats,
+        "heavy_hitters": q_heavy_hitters,
+        "stratified_sample": q_stratified_sample,
+    }
+)
+ORACLE.update(
+    {
+        "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    }
+)
+
+
 # --- driver sampling rotation ---------------------------------------------------
 # The driver certifies at most ~50 queries per round, taken in registration
 # order (CORRECTNESS_r03 sampled exactly the first 50). Rotate so
@@ -2483,6 +2632,9 @@ ORACLE.update(
 # window; long-stable queries (green in r01-r03, kernels untouched) take the
 # tail. VERDICT r03 next-steps #3.
 _CERT_PRIORITY = [
+    # new this round (r04) — never driver-certified
+    "substring_dup_stats", "heavy_hitters", "stratified_sample",
+    "bloom_incremental_dedup", "ann_ivfpq_topk",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",
