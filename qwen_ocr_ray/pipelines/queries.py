@@ -2609,11 +2609,87 @@ WHERE ((doc_id % {STRAT_PRIME}) * {STRAT_MUL}) % {STRAT_MOD} <
            ELSE 0 END
 """
 
+def q_bloom_incremental_dedup(sf_dir: str):
+    """Incremental crawl dedup via a mergeable Bloom filter: even doc_ids
+    play the already-ingested corpus, odd doc_ids the incoming batch; keep
+    incoming docs whose exact content hash is definitely-absent from the
+    corpus filter (one-sided error: a true duplicate is NEVER kept; sizing
+    gives ~5e-4 FP drops, mirrored bit-exactly by the sidecar oracle).
+
+    Scale shape: each block folds its keys into an m-bit bitmap
+    (map_batches), bitmaps OR-merge (associative — blocks x m/8 bytes
+    driver-bounded), the merged filter broadcasts once via ray.put, and the
+    incoming stream filters vectorized. The filter is sized from parquet
+    FOOTER counts, no scan. When the corpus filter outgrows a worker
+    (10^11+ keys), the same kernels shard by hash prefix: bucket both sides
+    on h1's top bits and each filter shard rides its bucket's exchange —
+    the broadcast here is the fits-in-memory fast path, the anti-join
+    (near_dup_representatives strategy='join') is the exact fallback."""
+    import ray as _ray
+
+    from qwen_ocr_ray.functions.sketch import (
+        bloom_contains, bloom_fill, bloom_num_bits, md5_hash_pairs,
+    )
+
+    n_total = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    m = bloom_num_bits(n_total)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def block_bitmap(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+        h1, h2 = md5_hash_pairs(t["text"].to_pylist())
+        return pa.table({"bitmap": pa.array([bloom_fill(h1, h2, m).tobytes()], pa.binary())})
+
+    regs = np.zeros(m >> 3, dtype=np.uint8)
+    for b in ds.map_batches(block_bitmap, batch_format="pyarrow").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        for raw in b["bitmap"].to_pylist():
+            regs |= np.frombuffer(raw, dtype=np.uint8)
+    ref = _ray.put(regs)
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        h1, h2 = md5_hash_pairs(t["text"].to_pylist())
+        hit = bloom_contains(_ray.get(ref), h1, h2)
+        return t.filter(pa.array(~hit)).select(["doc_id"])
+
+    return ds.map_batches(keep_new, batch_format="pyarrow")
+
+
+def q_ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ approximate top-k (Jegou et al. '11 IVFADC): coarse nprobe
+    cells + 8x-compressed PQ codes scored by ADC lookup, exact re-rank of a
+    bounded candidate set. See stages/similarity.ivfpq_topk; sidecar oracle
+    is the single-process mirror."""
+    from qwen_ocr_ray.stages.similarity import (
+        _normalize, ivfpq_topk, load_query_vector,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    query = _normalize(load_query_vector(path, 0)[None, :])[0]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivfpq_topk(ds, path, query, k=6, nprobe=3, rerank=32)
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+
+
+SQL_BLOOM_INCREMENTAL_DEDUP = f"""
+SELECT doc_id FROM read_parquet('{_ORACLE01}/bloom_kept.parquet')
+"""
+
+SQL_ANN_IVFPQ_TOPK = f"""
+SELECT vec_id, score FROM read_parquet('{_ORACLE01}/ann_ivfpq_topk.parquet')
+"""
+
 QUERIES.update(
     {
         "substring_dup_stats": q_substring_dup_stats,
         "heavy_hitters": q_heavy_hitters,
         "stratified_sample": q_stratified_sample,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 )
 ORACLE.update(
@@ -2621,6 +2697,8 @@ ORACLE.update(
         "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
+        "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     }
 )
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 4  # v3: hot-band guard in verify kernels; v4: approx_bpe_tokens
+ORACLE_VERSION = 5  # v4: approx_bpe_tokens; v5: bloom_kept + ivfpq_topk sidecars
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -275,6 +275,67 @@ def expected_ann_ivf_topk(sf_dir: str, *, k: int = 6, nprobe: int = 3) -> pa.Tab
     )
 
 
+def expected_bloom_kept(docs: pa.Table) -> pa.Table:
+    """Mirror of q_bloom_incremental_dedup: one in-process pass with the SAME
+    Bloom kernels (sizing from the full-table count, fill over even-doc_id
+    texts, probe over odd) — bit-identical bitmap, so the kept set matches
+    exactly including any false-positive drops."""
+    from qwen_ocr_ray.functions.sketch import (
+        bloom_contains, bloom_fill, bloom_num_bits, md5_hash_pairs,
+    )
+
+    ids = np.asarray(docs["doc_id"].to_pylist(), dtype=np.int64)
+    texts = docs["text"].to_pylist()
+    m = bloom_num_bits(len(ids))
+    seen = [t for i, t in zip(ids, texts) if i % 2 == 0]
+    regs = bloom_fill(*md5_hash_pairs(seen), m)
+    odd_ids = ids[ids % 2 == 1]
+    odd_texts = [t for i, t in zip(ids, texts) if i % 2 == 1]
+    hit = bloom_contains(regs, *md5_hash_pairs(odd_texts))
+    return pa.table({"doc_id": pa.array(odd_ids[~hit], pa.int64())})
+
+
+def expected_ann_ivfpq(sf_dir: str, *, k: int = 6, nprobe: int = 3,
+                       rerank: int = 32) -> pa.Table:
+    """Mirror of q_ann_ivfpq_topk: identical training (bounded sample),
+    one in-process ADC scan instead of the distributed per-block top-rerank
+    (equal under the rounded (adc desc, id asc) total order), then the same
+    exact re-rank of the rerank-bounded candidate set."""
+    from qwen_ocr_ray.stages.similarity import (
+        _matrix, _normalize, kmeans_centroids, load_query_vector,
+        pq_adc_lut, pq_adc_scores, pq_encode, pq_train, sample_embeddings,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    query = _normalize(load_query_vector(path, 0)[None, :])[0]
+    sample = _normalize(sample_embeddings(path))
+    centroids = kmeans_centroids(sample, k=16)
+    books = pq_train(sample)
+    lut = pq_adc_lut(query, books)
+    probe = set(int(c) for c in np.argsort(centroids @ query)[::-1][:nprobe])
+
+    emb = _emb(sf_dir)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m = _normalize(_matrix(emb))
+    assign = (m @ centroids.T).argmax(axis=1)
+    mask = np.isin(assign, list(probe))
+    sel_ids, sel = ids[mask], m[mask]
+    adc = np.round(pq_adc_scores(pq_encode(sel, books), lut), 6)
+    cand = np.lexsort((sel_ids, -adc))[:rerank]
+    cand_ids = set(sel_ids[cand].tolist())
+    cmask = np.isin(ids, list(cand_ids))
+    cids = ids[cmask]
+    sims = np.round(m[cmask] @ query, 6)
+    order = np.lexsort((cids, -sims))[:k]
+    top = [(int(i), float(s)) for i, s in zip(cids[order], sims[order]) if i != 0]
+    return pa.table(
+        {
+            "vec_id": pa.array([i for i, _ in top], pa.int64()),
+            "score": pa.array([np.float32(s) for _, s in top], pa.float32()),
+        }
+    )
+
+
 def expected_domain_partitions(pages_path: str, *, hot_fraction: float = 0.05) -> pa.Table:
     """Mirror of partition_histogram via the same pure helpers, one pass."""
     from qwen_ocr_ray.stages.bucketing import hash_bucket_ids
@@ -375,6 +436,8 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "figures.parquet": expected_figures(pages_path),
         "training_prep.parquet": expected_training_prep(pages_path, golden_path),
         "ann_ivf_topk.parquet": expected_ann_ivf_topk(sf_dir),
+        "ann_ivfpq_topk.parquet": expected_ann_ivfpq(sf_dir),
+        "bloom_kept.parquet": expected_bloom_kept(docs),
         "domain_partitions.parquet": expected_domain_partitions(pages_path),
         **expected_sketches(sf_dir),
     }

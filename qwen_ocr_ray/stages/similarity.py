@@ -448,6 +448,132 @@ def ivf_topk_indexed(
     )
 
 
+# --- product quantization (IVF-PQ, the memory-scale path) ----------------------
+#
+# IVF prunes READS (nprobe cells of the partitioned corpus); PQ prunes the
+# BYTES each read row costs: a 64-dim float32 vector (256 B) collapses to
+# PQ_SUB uint8 codes (8 B), so a scoring pass streams 32x less and a worker
+# can hold the code table for an entire shard. Scores are asymmetric-distance
+# (ADC) approximations — a bounded top-`rerank` candidate set is re-scored
+# EXACTLY against the raw vectors (a predicate-pushdown read of <= rerank
+# rows), the standard IVFADC shape (Jegou et al. '11, "Product Quantization
+# for Nearest Neighbor Search").
+
+PQ_SUB = 8     # subspaces (64-dim -> 8 x 8-dim blocks)
+PQ_CODES = 16  # centroids per subspace -> 4 bits/code, uint8 storage
+
+
+def pq_train(sample: np.ndarray, m: int = PQ_SUB, k: int = PQ_CODES,
+             iters: int = 8, seed: int = 999) -> np.ndarray:
+    """Per-subspace L2 Lloyd codebooks (m, k, d/m) on a bounded sample —
+    deterministic (fixed seed per subspace, fixed iteration count)."""
+    d = sample.shape[1]
+    sd = d // m
+    books = np.zeros((m, k, sd), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * sd : (j + 1) * sd]
+        rng = np.random.RandomState(seed + j)
+        cent = sub[rng.choice(len(sub), size=min(k, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) vectors -> (n, m) uint8 nearest-centroid codes per subspace."""
+    m, _, sd = books.shape
+    codes = np.zeros((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * sd : (j + 1) * sd]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_adc_lut(query: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(m, k) lookup table of per-subspace query-centroid dot products;
+    ADC score of a coded row = sum_j lut[j, code_j] ~= query . vector."""
+    m, _, sd = books.shape
+    return np.einsum("mkd,md->mk", books, query.reshape(m, sd))
+
+
+def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    return lut[np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+
+
+def ivfpq_topk(
+    ds, path: str, query: np.ndarray, *, k: int = 6, nprobe: int = 3,
+    rerank: int = 32, num_cells: int = 16, id_col: str = "vec_id",
+):
+    """IVF-PQ approximate top-k: coarse-cell mask -> PQ-encode -> ADC score
+    -> per-block top-`rerank` -> global top-`rerank` -> EXACT re-rank of
+    the candidates via a predicate-pushdown read (<= rerank rows leave
+    storage). Training (coarse centroids + codebooks) uses the same bounded
+    leading sample as IVF; every step is deterministic (round-6 scores,
+    id-ascending tie-break), so a single-process mirror reproduces the
+    result bit-for-bit."""
+    qn = query / (np.linalg.norm(query) or 1.0)
+    sample = _normalize(sample_embeddings(path))
+    centroids = kmeans_centroids(sample, k=num_cells)
+    books = pq_train(sample)
+    lut = pq_adc_lut(qn, books)
+    probe = set(int(c) for c in np.argsort(centroids @ qn)[::-1][:nprobe])
+    ref = ray.put((centroids, books, lut, probe))
+
+    def score(t: pa.Table) -> pa.Table:
+        cents, bks, l, cells = ray.get(ref)
+        m = _normalize(_matrix(t))
+        assign = (m @ cents.T).argmax(axis=1)
+        mask = np.isin(assign, list(cells))
+        ids = np.asarray(
+            t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )[mask]
+        adc = np.round(pq_adc_scores(pq_encode(m[mask], bks), l), 6)
+        # per-block top-rerank (mergeable under the (adc desc, id asc) order)
+        order = np.lexsort((ids, -adc))[:rerank]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "adc": pa.array(adc[order].astype(np.float32), pa.float32()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["adc", id_col], descending=[True, False])
+        .limit(rerank)
+        .take_all()
+    )  # bounded: exactly `rerank` rows
+    cand_ids = [r[id_col] for r in cand]
+    if not cand_ids:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float32())})
+        )
+    import pyarrow.parquet as pq_
+
+    exact = pq_.read_table(
+        path, columns=[id_col, "embedding"], filters=[(id_col, "in", cand_ids)]
+    )
+    ids = np.asarray(exact[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    sims = np.round(_normalize(_matrix(exact)) @ qn, 6)
+    order = np.lexsort((ids, -sims))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score": pa.array(sims[order].astype(np.float32), pa.float32()),
+            }
+        )
+    )
+
+
 def near_dup_representatives(ds, pairs_ds, *, id_col: str = "vec_id",
                              strategy: str = "broadcast",
                              num_partitions: int = 32):

@@ -727,3 +727,119 @@ class TestHotBandGuardAllKernels:
         pairs = lsh_verify_in_bucket(t, 0.95, max_group=8).to_pandas()
         found = set(zip(pairs.vec_a, pairs.vec_b))
         assert (5, 200) in found and (5, 201) in found
+
+
+class TestSubstringDupStats:
+    def _expected(self, docs):
+        # single-process mirror: corpus-wide shingle totals -> per-doc stats
+        from qwen_ocr_ray.functions.text_hash import shingle_position_hashes
+
+        per_doc = {i: shingle_position_hashes(t) for i, t in docs}
+        totals: dict = {}
+        for sh in per_doc.values():
+            for h in sh.tolist():
+                totals[h] = totals.get(h, 0) + 1
+        out = {}
+        for i, sh in per_doc.items():
+            if len(sh) == 0:
+                continue
+            dup = sum(1 for h in sh.tolist() if totals[h] >= 2)
+            out[i] = (len(sh), dup)
+        return out
+
+    def test_planted_shared_span_and_bucket_invariance(self, ray_session):
+        rng = np.random.RandomState(13)
+        vocab = [f"w{i}" for i in range(300)]
+        span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = []
+        for i in range(20):
+            words = [vocab[v] for v in rng.randint(0, 300, size=40)]
+            if i in (3, 11):  # plant the same 10-word span in two docs
+                words[10:10] = span.split()
+            docs.append((i, " ".join(words)))
+        docs.append((20, "too short"))  # <8 tokens -> no shingles, no row
+        exp = self._expected(docs)
+        assert exp[3][1] >= 3 and exp[11][1] >= 3  # the span's 3 interior 8-grams
+
+        from qwen_ocr_ray.stages.substring import substring_dup_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([s for _, s in docs], pa.string()),
+            }
+        )
+        for buckets, blocks in ((4, 1), (16, 5)):
+            ds = ray.data.from_arrow(t).repartition(blocks)
+            got = {
+                r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"])
+                for r in substring_dup_stats(ds, num_buckets=buckets).take_all()
+            }
+            assert got == exp, (buckets, blocks)
+        assert 20 not in got  # short doc emits nothing
+
+
+class TestBloomIncrementalDedup:
+    def test_planted_cross_batch_duplicate_dropped(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.pipelines.queries import q_bloom_incremental_dedup
+
+        rng = np.random.RandomState(5)
+        texts = [
+            " ".join(f"t{v}" for v in rng.randint(0, 1000, size=30))
+            for _ in range(30)
+        ]
+        texts[7] = texts[6]    # odd id 7 duplicates even id 6 -> must drop
+        texts[21] = texts[14]  # odd 21 duplicates even 14 -> must drop
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(30), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+            row_group_size=8,
+        )
+        kept = sorted(
+            r["doc_id"] for r in q_bloom_incremental_dedup(str(tmp_path)).take_all()
+        )
+        expected = [i for i in range(30) if i % 2 == 1 and i not in (7, 21)]
+        assert kept == expected
+
+
+class TestIvfPq:
+    def test_planted_neighbor_found_and_codes_compress(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.stages.similarity import (
+            _normalize, ivfpq_topk, pq_encode, pq_train,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.standard_normal((400, 64))
+        vecs[57] = vecs[0] + rng.standard_normal(64) * 0.01  # near-dup of query
+        path = str(tmp_path / "embeddings.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            path,
+            row_group_size=64,
+        )
+        query = _normalize(vecs[:1].astype(np.float64))[0]
+        ds = ray.data.read_parquet(path)
+        rows = ivfpq_topk(ds, path, query, k=3, nprobe=4, rerank=16).take_all()
+        assert rows[0]["vec_id"] == 0 and rows[0]["score"] >= 0.999
+        assert {r["vec_id"] for r in rows} >= {0, 57}
+        # codes are 8 uint8 per 64-float vector (32x smaller)
+        books = pq_train(_normalize(vecs))
+        codes = pq_encode(_normalize(vecs), books)
+        assert codes.shape == (400, 8) and codes.dtype == np.uint8

@@ -99,3 +99,70 @@ def test_string_hashes_deterministic():
     b = string_hashes(["x", "y", "zebra"])
     np.testing.assert_array_equal(a, b)
     assert len(np.unique(a)) == 3
+
+
+class TestFrequentCandidates:
+    def test_union_guarantee_over_blocks(self):
+        from qwen_ocr_ray.functions.sketch import frequent_candidates
+
+        # skewed stream: item i appears ~Zipf-ish; shuffled, then split into
+        # blocks — every GLOBAL >phi heavy hitter must appear in the union of
+        # per-block candidate sets (the pigeonhole superset guarantee)
+        rng = np.random.RandomState(7)
+        counts = {i: max(1, int(5000 / (i + 1))) for i in range(200)}
+        stream = np.repeat(
+            np.fromiter(counts, dtype=np.int64),
+            np.fromiter(counts.values(), dtype=np.int64),
+        )
+        rng.shuffle(stream)
+        phi = 1.0 / 50.0
+        n = len(stream)
+        truth = {i for i, c in counts.items() if c > phi * n}
+        assert truth  # the fixture actually has heavy hitters
+        union: set = set()
+        for block in np.array_split(stream, 13):
+            cands = frequent_candidates(block, phi)
+            assert len(cands) <= int(1 / phi)  # bounded per block
+            union.update(cands.tolist())
+        assert truth <= union
+
+    def test_empty_block(self):
+        from qwen_ocr_ray.functions.sketch import frequent_candidates
+
+        assert len(frequent_candidates(np.zeros(0, np.int64), 0.01)) == 0
+
+
+class TestBloom:
+    def test_no_false_negatives_and_mergeable(self):
+        from qwen_ocr_ray.functions.sketch import (
+            bloom_contains, bloom_fill, bloom_num_bits, md5_hash_pairs,
+        )
+
+        keys = [f"doc {i} text" for i in range(500)]
+        m = bloom_num_bits(1000)
+        # split fill across 4 "blocks", OR-merge — must equal one-shot fill
+        parts = [keys[i::4] for i in range(4)]
+        regs = np.zeros(m >> 3, np.uint8)
+        for p in parts:
+            regs |= bloom_fill(*md5_hash_pairs(p), m)
+        whole = bloom_fill(*md5_hash_pairs(keys), m)
+        assert np.array_equal(regs, whole)
+        # one-sided error: every inserted key IS contained
+        assert bloom_contains(regs, *md5_hash_pairs(keys)).all()
+        # sized filter: fresh keys are (almost) all absent
+        fresh = [f"other {i}" for i in range(500)]
+        fp = bloom_contains(regs, *md5_hash_pairs(fresh)).mean()
+        assert fp < 0.01, fp
+
+    def test_tiny_filter_saturates_to_false_positives(self):
+        # under-sizing degrades to FPs, never FNs — the documented one-sided
+        # error direction
+        from qwen_ocr_ray.functions.sketch import (
+            bloom_contains, bloom_fill, md5_hash_pairs,
+        )
+
+        keys = [f"k{i}" for i in range(5000)]
+        regs = bloom_fill(*md5_hash_pairs(keys), 1024)
+        assert bloom_contains(regs, *md5_hash_pairs(keys)).all()
+        fresh = [f"f{i}" for i in range(1000)]
+        assert bloom_contains(regs, *md5_hash_pairs(fresh)).mean() > 0.5
