@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "approx_distinct_users",
     "corpus_rebalance",
+    "substring_dup_stats",
+    "heavy_hitters",
+    "bloom_incremental_dedup",
 ]
 
 
