@@ -2675,6 +2675,56 @@ def q_ann_ivfpq_topk(sf_dir: str):
     )
 
 
+def q_approx_distinct_by_type(sf_dir: str):
+    """GROUPED approximate distinct: distinct users per event_type via
+    per-group HLL registers — the sketch-as-aggregation-state pattern
+    (distinct urls per domain at 10^12 rows). Each block folds its rows into
+    one 4 KiB register array PER KEY (map_batches combiner), the exchange
+    moves |keys x blocks| constant-size sketches instead of |rows| ids, and
+    the per-key merge is an associative register max. The global
+    ``approx_distinct_users`` is the 1-group special case; this is the
+    shape that replaces COUNT(DISTINCT) GROUP BY at scale."""
+    from qwen_ocr_ray.functions.sketch import hll_estimate, hll_registers, mix64
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = sorted(set(types.tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "regs": pa.array(
+                    [hll_registers(mix64(uid[types == ty])).tobytes() for ty in keys],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, np.uint8) for b in t["regs"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "event_type": pa.array([t["event_type"][0].as_py()], pa.string()),
+                "approx_distinct": pa.array([hll_estimate(regs)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+SQL_APPROX_DISTINCT_BY_TYPE = f"""
+SELECT event_type, approx_distinct
+FROM read_parquet('{_ORACLE01}/group_distinct.parquet')
+"""
+
 SQL_BLOOM_INCREMENTAL_DEDUP = f"""
 SELECT doc_id FROM read_parquet('{_ORACLE01}/bloom_kept.parquet')
 """
@@ -2690,10 +2740,12 @@ QUERIES.update(
         "stratified_sample": q_stratified_sample,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "approx_distinct_by_type": q_approx_distinct_by_type,
     }
 )
 ORACLE.update(
     {
+        "approx_distinct_by_type": SQL_APPROX_DISTINCT_BY_TYPE,
         "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2712,7 +2764,7 @@ ORACLE.update(
 _CERT_PRIORITY = [
     # new this round (r04) — never driver-certified
     "substring_dup_stats", "heavy_hitters", "stratified_sample",
-    "bloom_incremental_dedup", "ann_ivfpq_topk",
+    "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 5  # v4: approx_bpe_tokens; v5: bloom_kept + ivfpq_topk sidecars
+ORACLE_VERSION = 6  # v5: bloom_kept + ivfpq_topk; v6: group_distinct sidecar
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -386,6 +386,24 @@ def expected_sketches(sf_dir: str) -> dict[str, pa.Table]:
         {"approx_distinct": pa.array([hll_estimate(hll_registers(users))], pa.int64())}
     )
 
+    # per-group HLL (distinct users per event_type) — one in-process pass
+    # with the same register/estimate kernels the pipeline folds per block
+    ev_t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    types = ev_t["event_type"].to_numpy(zero_copy_only=False)
+    uid = ev_t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    g_keys = sorted(set(types.tolist()))
+    group_distinct = pa.table(
+        {
+            "event_type": pa.array(g_keys, pa.string()),
+            "approx_distinct": pa.array(
+                [hll_estimate(hll_registers(mix64(uid[types == ty]))) for ty in g_keys],
+                pa.int64(),
+            ),
+        }
+    )
+
     qs = [0.25, 0.5, 0.75, 0.9]
     keys = mix64(ev["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
     vals = ev["value"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -402,6 +420,7 @@ def expected_sketches(sf_dir: str) -> dict[str, pa.Table]:
     return {
         "approx_distinct_users.parquet": distinct,
         "value_quantiles.parquet": quants,
+        "group_distinct.parquet": group_distinct,
     }
 
 

@@ -166,3 +166,38 @@ class TestBloom:
         assert bloom_contains(regs, *md5_hash_pairs(keys)).all()
         fresh = [f"f{i}" for i in range(1000)]
         assert bloom_contains(regs, *md5_hash_pairs(fresh)).mean() > 0.5
+
+
+class TestGroupedHll:
+    def test_split_invariance_matches_single_process(self, ray_session):
+        import ray.data
+
+        from qwen_ocr_ray.functions.sketch import hll_estimate, hll_registers
+        from qwen_ocr_ray.pipelines.queries import q_approx_distinct_by_type
+
+        # block-split invariance on the real testdata: distributed per-block
+        # fold + per-key register max must equal the one-pass mirror
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_type"]: r["approx_distinct"]
+            for r in q_approx_distinct_by_type(sf).take_all()
+        }
+        import pyarrow.parquet as pq
+
+        ev = pq.read_table(sf + "/events.parquet", columns=["event_type", "user_id"])
+        types = ev["event_type"].to_numpy(zero_copy_only=False)
+        uid = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        exp = {
+            ty: hll_estimate(hll_registers(mix64(uid[types == ty])))
+            for ty in set(types.tolist())
+        }
+        assert got == exp
+        # sanity: estimates track the exact distinct counts within HLL error
+        import collections
+
+        truth = collections.defaultdict(set)
+        for ty, u in zip(types.tolist(), uid.tolist()):
+            truth[ty].add(u)
+        for ty, est in got.items():
+            n = len(truth[ty])
+            assert abs(est - n) / n < 0.10, (ty, est, n)
