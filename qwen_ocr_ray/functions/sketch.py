@@ -114,6 +114,42 @@ def frequent_candidates(values: np.ndarray, phi: float) -> np.ndarray:
     return vals[counts > phi * len(values)]
 
 
+# --- Count-Min sketch (approximate frequencies, mergeable by addition) ---------
+
+CMS_DEPTH = 4      # independent hash rows; overestimate prob ~ (n/w)^d
+CMS_WIDTH = 2048   # int64 counters: 4 x 2048 x 8 B = 64 KiB per sketch
+
+# per-row salts derived from the splitmix64 increment — fixed, so every
+# block/builder uses the SAME hash family and sketches add coherently
+_CMS_SALTS = mix64(np.arange(1, CMS_DEPTH + 1, dtype=np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+
+
+def _cms_columns(hashes: np.ndarray, j: int, w: int) -> np.ndarray:
+    return (mix64(hashes ^ _CMS_SALTS[j]) % np.uint64(w)).astype(np.int64)
+
+
+def cms_fold(hashes: np.ndarray, d: int = CMS_DEPTH, w: int = CMS_WIDTH) -> np.ndarray:
+    """Fold uint64 key hashes into a d x w int64 counter matrix (one block).
+    Matrices from any block split ADD into the same sketch (integer addition
+    is associative+commutative, so the distributed merge is bit-identical to
+    a single-process fold) — Cormode-Muthukrishnan Count-Min."""
+    counts = np.zeros((d, w), dtype=np.int64)
+    for j in range(d):
+        np.add.at(counts[j], _cms_columns(hashes, j, w), 1)
+    return counts
+
+
+def cms_estimate(counts: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows. Never underestimates;
+    overestimates by > 2n/w with probability <= 2^-d per key."""
+    d, w = counts.shape
+    est = np.full(len(hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(d):
+        np.minimum(est, counts[j, _cms_columns(hashes, j, w)], out=est)
+    return est
+
+
 # --- Bloom filter (approximate membership, mergeable by bitwise OR) ------------
 
 BLOOM_BITS_PER_KEY = 16   # m/n ratio; with k=11 hashes FP rate ~= 4.6e-4

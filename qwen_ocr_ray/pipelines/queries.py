@@ -2755,6 +2755,149 @@ ORACLE.update(
 )
 
 
+CMS_PROBES = list(range(12))  # probe users present at every sf
+
+
+def q_cms_point_counts(sf_dir: str):
+    """Count-Min approximate event counts for a probe set of users: each
+    block folds to ONE 64 KiB d x w counter matrix, matrices merge by
+    addition through the two-level reduce, point estimates are min-over-rows
+    — the mergeable frequency sketch that answers point COUNT(*) lookups at
+    10^12 rows without a keyed exchange (complements `heavy_hitters`' exact
+    candidate+verify and `approx_distinct_users`' HLL). Distributed fold is
+    bit-identical to the sidecar's single-process fold because integer
+    addition commutes."""
+    from qwen_ocr_ray.stages.sketch import cms_point_counts
+
+    return cms_point_counts(
+        _read(sf_dir, "events", ["user_id"]), "user_id", CMS_PROBES
+    )
+
+
+SQL_CMS_POINT_COUNTS = f"""
+SELECT key, est_count FROM read_parquet('{_ORACLE01}/cms_point_counts.parquet')
+"""
+
+
+def q_quantiles_by_type(sf_dir: str):
+    """Per-group approximate quantiles (value quantiles per event_type) via
+    per-(block, group) bottom-k hash samples: the exchange carries
+    O(blocks x groups x k) tiny (key, hash, value) rows — never the data —
+    and each group's merge re-takes k and interpolates. The grouped form of
+    `approx_value_quantiles` (its 1-group special case); bottom-k is
+    mergeable, so the distributed union-retake equals the sidecar's one-pass
+    per-group sample exactly."""
+    from qwen_ocr_ray.stages.sketch import grouped_approx_quantiles
+
+    return grouped_approx_quantiles(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "value", "event_id", "event_type", [0.25, 0.5, 0.75, 0.9],
+    )
+
+
+SQL_QUANTILES_BY_TYPE = f"""
+SELECT event_type, q, value
+FROM read_parquet('{_ORACLE01}/group_quantiles.parquet')
+"""
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score (the sandbox-honest form of perplexity
+    filtering, CCNet/Gopher-style): pass 1 trains the LM — global token
+    counts via the per-batch combiner + grouped_sums exchange (at web scale
+    cap the vocabulary to the top-V tokens by count with the mergeable
+    block-top-k used in corpus_rebalance; unchanged here where V is small) —
+    then the count table broadcasts ONCE via ray.put and pass 2 streams
+    documents through an actor pool scoring mean ln(c_w / N) per doc.
+    Summation order differs from SQL's AVG in the last ulp, so the mean is
+    canonicalized round(4)->float32 on both sides."""
+    import collections
+    import math
+    import re as _re
+
+    import ray as _ray
+
+    tok = _re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        tf: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            tf.update(tok.findall(text.lower()))
+        toks = sorted(tf)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array([tf[w] for w in toks], pa.int64()),
+            }
+        )
+
+    tft = grouped_sums(
+        ds.map_batches(partial_tf, batch_format="pyarrow"),
+        keys=["token"], sum_cols={"tf": "tf"},
+    )
+    tf_map: dict[str, int] = {}
+    for b in tft.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tf_map.update(zip(b["token"].to_pylist(), b["tf"].to_pylist()))
+    n_total = float(sum(tf_map.values()))
+    ref = _ray.put(tf_map)
+
+    class Score:
+        def __init__(self):
+            self.tf = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, ns, lps = [], [], []
+            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                words = tok.findall(text.lower())
+                if not words:
+                    continue  # SQL's tok CTE has no rows for token-free docs
+                s = sum(math.log(self.tf[w] / n_total) for w in words)
+                ids.append(did)
+                ns.append(len(words))
+                lps.append(float(np.float32(round(s / len(words), 4))))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(ns, pa.int64()),
+                    "logprob": pa.array(lps, pa.float32()),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(ROUND(SUM(ln(c.c / n.n)) / COUNT(*), 4) AS REAL) AS logprob
+FROM tok t JOIN cnt c USING (token), n
+GROUP BY t.doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "cms_point_counts": q_cms_point_counts,
+        "quantiles_by_type": q_quantiles_by_type,
+        "unigram_logprob": q_unigram_logprob,
+    }
+)
+ORACLE.update(
+    {
+        "cms_point_counts": SQL_CMS_POINT_COUNTS,
+        "quantiles_by_type": SQL_QUANTILES_BY_TYPE,
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    }
+)
+
+
 # --- driver sampling rotation ---------------------------------------------------
 # The driver certifies at most ~50 queries per round, taken in registration
 # order (CORRECTNESS_r03 sampled exactly the first 50). Rotate so
@@ -2765,6 +2908,7 @@ _CERT_PRIORITY = [
     # new this round (r04) — never driver-certified
     "substring_dup_stats", "heavy_hitters", "stratified_sample",
     "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
+    "cms_point_counts", "quantiles_by_type", "unigram_logprob",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",

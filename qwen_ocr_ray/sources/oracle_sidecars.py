@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 6  # v5: bloom_kept + ivfpq_topk; v6: group_distinct sidecar
+ORACLE_VERSION = 7  # v6: group_distinct; v7: cms_point_counts + group_quantiles
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -375,7 +375,8 @@ def expected_sketches(sf_dir: str) -> dict[str, pa.Table]:
     one full-table pass with the SAME pure kernels the pipeline folds per
     block — a hash match certifies the distributed sketch merge exactly."""
     from qwen_ocr_ray.functions.sketch import (
-        bottomk_rows, hll_estimate, hll_registers, mix64, quantiles_from_sample,
+        bottomk_rows, cms_estimate, cms_fold, hll_estimate, hll_registers, mix64,
+        quantiles_from_sample,
     )
 
     ev = pq.read_table(
@@ -417,10 +418,51 @@ def expected_sketches(sf_dir: str) -> dict[str, pa.Table]:
             ),
         }
     )
+
+    # Count-Min point counts: one in-process fold over the whole column —
+    # integer addition commutes, so the distributed per-block fold + sum
+    # reduce must match this bit-for-bit
+    from qwen_ocr_ray.pipelines.queries import CMS_PROBES
+
+    cms = cms_fold(users)
+    probe_hashes = mix64(np.asarray(sorted(CMS_PROBES), dtype=np.uint64))
+    cms_counts = pa.table(
+        {
+            "key": pa.array(sorted(CMS_PROBES), pa.int64()),
+            "est_count": pa.array(cms_estimate(cms, probe_hashes), pa.int64()),
+        }
+    )
+
+    # per-group bottom-k quantiles (value quantiles per event_type): the
+    # union-of-block-bottom-ks re-taken to k equals the one-pass per-group
+    # bottom-k, so the mirror is the per-group kernel applied once
+    ev_q = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    q_types = ev_q["event_type"].to_numpy(zero_copy_only=False)
+    q_keys = mix64(ev_q["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    q_vals = ev_q["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    gq_rows: list[tuple[str, float, float]] = []
+    for ty in sorted(set(q_types.tolist())):
+        m = q_types == ty
+        _, g_vs = bottomk_rows(q_keys[m], q_vals[m], 256)
+        for q, v in zip(qs, quantiles_from_sample(g_vs, qs)):
+            gq_rows.append((ty, float(q), float(np.float32(round(v, 4)))))
+    group_quantiles = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in gq_rows], pa.string()),
+            "q": pa.array([r[1] for r in gq_rows], pa.float64()),
+            "value": pa.array([r[2] for r in gq_rows], pa.float64()),
+        }
+    )
+
     return {
         "approx_distinct_users.parquet": distinct,
         "value_quantiles.parquet": quants,
         "group_distinct.parquet": group_distinct,
+        "cms_point_counts.parquet": cms_counts,
+        "group_quantiles.parquet": group_quantiles,
     }
 
 

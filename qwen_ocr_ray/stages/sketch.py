@@ -20,8 +20,12 @@ import numpy as np
 import pyarrow as pa
 
 from qwen_ocr_ray.functions.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
     HLL_P,
     bottomk_rows,
+    cms_estimate,
+    cms_fold,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -132,4 +136,99 @@ def approx_quantiles(ds, value_col: str, key_col: str, qs: list[float], k: int =
 
     return _two_level_reduce(
         ds.map_batches(batch_sample, batch_format="pyarrow"), combine, finalize
+    )
+
+
+def cms_point_counts(ds, col: str, probes: list[int],
+                     d: int = CMS_DEPTH, w: int = CMS_WIDTH):
+    """Count-Min approximate frequency of each probe key: per-block d x w
+    counter folds (64 KiB each), merged by ADDITION through the two-level
+    reduce — the mergeable replacement for COUNT(*) GROUP BY point lookups
+    when the key space is unbounded. Integer addition commutes, so the
+    distributed result is bit-identical to a single-process fold (what the
+    sidecar oracle certifies). Rows: ``{key: int64, est_count: int64}``."""
+    probe_hashes = mix64(np.asarray(sorted(probes), dtype=np.uint64))
+
+    def batch_fold(t: pa.Table) -> pa.Table:
+        counts = cms_fold(_column_hashes(t[col]), d, w)
+        return pa.table({"cms": pa.array([counts.tobytes()], pa.binary())})
+
+    def _merged(t: pa.Table) -> np.ndarray:
+        return np.sum(
+            [np.frombuffer(b, np.int64).reshape(d, w) for b in t["cms"].to_pylist()],
+            axis=0,
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table({"cms": pa.array([_merged(t).tobytes()], pa.binary())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        est = cms_estimate(_merged(t), probe_hashes)
+        return pa.table(
+            {
+                "key": pa.array(sorted(probes), pa.int64()),
+                "est_count": pa.array(est, pa.int64()),
+            }
+        )
+
+    return _two_level_reduce(
+        ds.map_batches(batch_fold, batch_format="pyarrow"), combine, finalize
+    )
+
+
+def grouped_approx_quantiles(ds, value_col: str, key_col: str, group_col: str,
+                             qs: list[float], k: int = 256):
+    """Per-group bottom-k hash-sample quantiles (the grouped form of
+    ``approx_quantiles``): each block keeps k sampled rows PER GROUP, so the
+    exchange carries O(blocks x groups x k) tiny (group, hash, value) rows —
+    never the data — and the per-group merge re-takes k and interpolates.
+    map_groups is safe here: cells are a string key + two scalars (the
+    large-payload pathology documented in CLAUDE.md does not apply)."""
+
+    def batch_sample(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t[key_col]))
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        h_all = _column_hashes(t[key_col])
+        v_all = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        gs, hs, vs = [], [], []
+        for g in np.unique(groups):
+            m = groups == g
+            h, v = bottomk_rows(h_all[m], v_all[m], k)
+            gs.extend([g] * len(h))
+            hs.append(h)
+            vs.append(v)
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "h": pa.array(np.concatenate(hs) if hs else [], pa.uint64()),
+                "v": pa.array(np.concatenate(vs) if vs else [], pa.float64()),
+            }
+        )
+
+    def finalize_group(t: pa.Table) -> pa.Table:
+        _, vs = bottomk_rows(
+            t["h"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False),
+            k,
+        )
+        vals = quantiles_from_sample(vs, qs)
+        g = t[group_col][0].as_py()
+        return pa.table(
+            {
+                group_col: pa.array([g] * len(qs), pa.string()),
+                "q": pa.array([float(q) for q in qs], pa.float64()),
+                "value": pa.array(
+                    [float(np.float32(round(v, 4))) for v in vals], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_sample, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finalize_group, batch_format="pyarrow")
     )

@@ -201,3 +201,57 @@ class TestGroupedHll:
         for ty, est in got.items():
             n = len(truth[ty])
             assert abs(est - n) / n < 0.10, (ty, est, n)
+
+
+class TestCms:
+    def test_split_invariance_and_bounds(self):
+        from qwen_ocr_ray.functions.sketch import cms_estimate, cms_fold
+
+        rng = np.random.RandomState(7)
+        keys = rng.zipf(1.3, size=20_000).astype(np.uint64) % 500
+        h = mix64(keys)
+        whole = cms_fold(h)
+        # additive merge over any split == one fold (what the sidecar relies on)
+        parts = np.array_split(h, 7)
+        merged = np.sum([cms_fold(p) for p in parts], axis=0)
+        assert (whole == merged).all()
+        # never underestimates; overestimate bounded far under n/w * small factor
+        probe = np.arange(500, dtype=np.uint64)
+        est = cms_estimate(whole, mix64(probe))
+        true = np.bincount(keys.astype(np.int64), minlength=500)
+        assert (est >= true).all()
+        assert (est - true).max() <= 200, (est - true).max()  # n/w ~ 10, min over d=4
+
+    def test_empty_fold_is_zero(self):
+        from qwen_ocr_ray.functions.sketch import cms_fold
+
+        assert cms_fold(np.zeros(0, np.uint64)).sum() == 0
+
+
+class TestGroupedQuantiles:
+    def test_bottomk_union_retake_equals_one_pass(self):
+        # the mergeability property grouped_approx_quantiles relies on
+        rng = np.random.RandomState(3)
+        h = mix64(rng.randint(0, 1 << 62, size=5_000).astype(np.uint64))
+        v = rng.normal(size=5_000)
+        k = 256
+        one = bottomk_rows(h, v, k)
+        ha, hb = np.array_split(h, 2)
+        va, vb = np.array_split(v, 2)
+        pa_, pb = bottomk_rows(ha, va, k), bottomk_rows(hb, vb, k)
+        re = bottomk_rows(np.concatenate([pa_[0], pb[0]]),
+                          np.concatenate([pa_[1], pb[1]]), k)
+        assert (one[0] == re[0]).all() and (one[1] == re[1]).all()
+
+    def test_matches_sidecar_mirror(self, ray_session):
+        from qwen_ocr_ray.pipelines.queries import q_quantiles_by_type
+        from qwen_ocr_ray.sources.oracle_sidecars import expected_sketches
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["event_type"], r["q"], r["value"])
+            for r in q_quantiles_by_type(sf).take_all()
+        )
+        exp_t = expected_sketches(sf)["group_quantiles.parquet"]
+        exp = sorted(zip(*(exp_t[c].to_pylist() for c in ("event_type", "q", "value"))))
+        assert got == exp
