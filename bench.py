@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "substring_dup_stats",
     "heavy_hitters",
     "bloom_incremental_dedup",
+    "cms_point_counts",
+    "quantiles_by_type",
+    "unigram_logprob",
+    "approx_distinct_by_type",
 ]
 
 
