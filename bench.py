@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "quantiles_by_type",
     "unigram_logprob",
     "approx_distinct_by_type",
+    "kmeans_clusters",
+    "value_zscores",
 ]
 
 

@@ -2882,11 +2882,87 @@ GROUP BY t.doc_id
 """
 
 
+KMEANS_K = 10
+KMEANS_ITERS = 5
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (the SemDeDup
+    semantic-clustering primitive; also how IVF coarse quantizers train):
+    centroids broadcast once per iteration, each block folds to <= k
+    (cluster, count, coordinate-sum) rows so the per-iteration exchange is
+    O(blocks x k), and the final assignment is one streaming pass. All
+    arithmetic is quantized int64 (stages/kmeans.py) — integer sums commute
+    and integer argmin has no BLAS float path — so the distributed result is
+    bit-identical to the sidecar's single-process mirror on any block split
+    or cluster size."""
+    from qwen_ocr_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cq = kmeans_fit(ds, KMEANS_K, KMEANS_ITERS)
+    return kmeans_assign(ds, cq)
+
+
+SQL_KMEANS_CLUSTERS = f"""
+SELECT vec_id, cluster FROM read_parquet('{_ORACLE01}/kmeans_clusters.parquet')
+"""
+
+
+def q_value_zscores(sf_dir: str):
+    """Two-pass z-score standardization of events.value (the feature-scaling
+    primitive): pass 1 folds each block to THREE scalars (count, sum, sum of
+    squares — a bounded driver merge at any corpus size), pass 2 is a pure
+    map. Cross-engine float parity: z is canonicalized round(4)->float32 on
+    both sides; the distributed sum and DuckDB's differ only in the last
+    ulp."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "s": pa.array([float(v.sum())], pa.float64()),
+                "ss": pa.array([float((v * v).sum())], pa.float64()),
+            }
+        )
+
+    n_total, s_total, ss_total = 0, 0.0, 0.0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        n_total += sum(b["n"].to_pylist())
+        s_total += sum(b["s"].to_pylist())
+        ss_total += sum(b["ss"].to_pylist())
+    mean = s_total / n_total
+    std = float(np.sqrt(ss_total / n_total - mean * mean))
+
+    def zmap(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.float32(np.round((v - mean) / std, 4))
+        return pa.table({"event_id": t["event_id"], "z": pa.array(z, pa.float32())})
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+SQL_VALUE_ZSCORES = """
+WITH stats AS (
+  SELECT AVG(value) AS mean,
+         SQRT(AVG(value * value) - AVG(value) * AVG(value)) AS std
+  FROM events
+)
+SELECT event_id, CAST(ROUND((value - mean) / std, 4) AS REAL) AS z
+FROM events, stats
+"""
+
+
 QUERIES.update(
     {
         "cms_point_counts": q_cms_point_counts,
         "quantiles_by_type": q_quantiles_by_type,
         "unigram_logprob": q_unigram_logprob,
+        "kmeans_clusters": q_kmeans_clusters,
+        "value_zscores": q_value_zscores,
     }
 )
 ORACLE.update(
@@ -2894,6 +2970,8 @@ ORACLE.update(
         "cms_point_counts": SQL_CMS_POINT_COUNTS,
         "quantiles_by_type": SQL_QUANTILES_BY_TYPE,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+        "value_zscores": SQL_VALUE_ZSCORES,
     }
 )
 
@@ -2909,6 +2987,7 @@ _CERT_PRIORITY = [
     "substring_dup_stats", "heavy_hitters", "stratified_sample",
     "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
     "cms_point_counts", "quantiles_by_type", "unigram_logprob",
+    "kmeans_clusters", "value_zscores",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",

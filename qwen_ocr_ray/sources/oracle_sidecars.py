@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 7  # v6: group_distinct; v7: cms_point_counts + group_quantiles
+ORACLE_VERSION = 8  # v7: cms_point_counts + group_quantiles; v8: kmeans_clusters
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -468,6 +468,26 @@ def expected_sketches(sf_dir: str) -> dict[str, pa.Table]:
 
 # --- cache driver -------------------------------------------------------------
 
+def expected_kmeans(emb: pa.Table) -> pa.Table:
+    """Single-process mirror of the kmeans_clusters query: same quantized
+    int64 kernels (stages/kmeans.py), so assignments are bit-identical to
+    the distributed fit + assignment pass."""
+    from qwen_ocr_ray.pipelines.queries import KMEANS_ITERS, KMEANS_K
+    from qwen_ocr_ray.stages.kmeans import (
+        assign_clusters, kmeans_fit_mirror, quantize,
+    )
+
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cq = kmeans_fit_mirror(ids, m, KMEANS_K, KMEANS_ITERS)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(assign_clusters(quantize(m), cq), pa.int64()),
+        }
+    )
+
+
 def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> str:
     """Generate-and-cache every expected table for ``sf_dir``; returns the
     cache dir. Atomic per-file writes + a _SUCCESS marker; concurrent callers
@@ -500,6 +520,7 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "ann_ivfpq_topk.parquet": expected_ann_ivfpq(sf_dir),
         "bloom_kept.parquet": expected_bloom_kept(docs),
         "domain_partitions.parquet": expected_domain_partitions(pages_path),
+        "kmeans_clusters.parquet": expected_kmeans(emb),
         **expected_sketches(sf_dir),
     }
     for name, table in tables.items():

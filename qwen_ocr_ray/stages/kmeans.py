@@ -1,0 +1,196 @@
+"""Distributed Lloyd k-means over an embedding column — the semantic
+clustering primitive behind SemDeDup-style curation (cluster the corpus,
+then prune near-duplicates within clusters) and IVF coarse quantizers.
+
+Shape for 100 TB: centroids broadcast via ``ray.put`` once per iteration;
+each block folds its rows into AT MOST k (cluster, count, coordinate-sum)
+rows, so the per-iteration exchange is O(blocks x k) tiny rows — the data
+never moves. The driver merge is k rows of 64 int64s (bounded regardless of
+corpus size). At real scale, train on a bounded sample (the IVF builder's
+discipline, `similarity.py`) and run ONE streaming assignment pass; the
+full-corpus iteration here demonstrates the exchange shape.
+
+Determinism contract: ALL distance and accumulation arithmetic runs in
+QUANTIZED int64 space (x_q = round(x * 2^24)): integer sums commute (any
+block split / retry / merge order gives identical sums), the int64 distance
+expansion is exact (|x_q|^2 - 2 x_q.c_q + |c_q|^2 <= 2^56 << 2^63 for unit
+vectors at dim 64), and argmin ties break to the lowest cluster index.
+Assignments are therefore bit-identical between the distributed fold and the
+single-process mirror in sources/oracle_sidecars.py.
+
+No reference counterpart (§2.6 training-data-curation extension suite).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from qwen_ocr_ray.functions.sketch import mix64
+from qwen_ocr_ray.stages.similarity import _matrix
+
+KMEANS_SCALE = 1 << 24  # fixed-point quantization step
+
+
+def quantize(m: np.ndarray) -> np.ndarray:
+    return np.round(m * KMEANS_SCALE).astype(np.int64)
+
+
+def assign_clusters(xq: np.ndarray, cq: np.ndarray) -> np.ndarray:
+    """argmin_j ||x_q - c_q_j||^2 in exact int64 arithmetic (no BLAS float
+    path — numpy integer matmul), first-min tie-break."""
+    d = (
+        (xq * xq).sum(axis=1, keepdims=True)
+        - 2 * (xq @ cq.T)
+        + (cq * cq).sum(axis=1)[None, :]
+    )
+    return d.argmin(axis=1)
+
+
+def seed_sample_size(k: int) -> int:
+    return max(64, 8 * k)
+
+
+def seed_from_sample(hashes: np.ndarray, xq: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-means++-style seeding: greedy farthest-point selection
+    (max-min squared distance, int64-exact) over the bottom-m hash sample,
+    starting from the smallest-hash point. Plain uniform seeding routinely
+    drops two seeds in one dense cluster and merges true clusters (observed:
+    purity 0.60 on 5 planted Gaussians); farthest-point spreads seeds across
+    the data's extent. Ties break to the first (lowest-hash-order) index.
+    The bottom-m sample is mergeable, so the distributed per-block
+    bottom-m union re-taken to m equals this one-pass selection."""
+    order = np.argsort(hashes, kind="stable")[: seed_sample_size(k)]
+    s = xq[order]
+    chosen = [0]
+    d = ((s - s[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        i = int(d.argmax())
+        chosen.append(i)
+        d = np.minimum(d, ((s - s[i]) ** 2).sum(axis=1))
+    return s[chosen]
+
+
+def init_centroids_quantized(vec_ids: np.ndarray, xq: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic seeding over the full table (mirror path): distinct ids
+    hash distinctly, so there are no sample ties."""
+    return seed_from_sample(mix64(vec_ids.astype(np.uint64)), xq, k)
+
+
+def update_centroids(
+    cq: np.ndarray, counts: np.ndarray, sums: np.ndarray
+) -> np.ndarray:
+    """New quantized centroids = round(sum / count) per cluster; an empty
+    cluster keeps its previous centroid (deterministic, no re-seeding)."""
+    out = cq.copy()
+    nz = counts > 0
+    out[nz] = np.round(sums[nz] / counts[nz, None]).astype(np.int64)
+    return out
+
+
+def _block_partials(xq: np.ndarray, cq: np.ndarray, k: int):
+    a = assign_clusters(xq, cq)
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    dim = xq.shape[1]
+    sums = np.zeros((k, dim), dtype=np.int64)
+    np.add.at(sums, a, xq)
+    present = np.flatnonzero(counts)
+    return present, counts, sums
+
+
+def kmeans_fit(ds, k: int, iters: int, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """Lloyd iterations over a Dataset; returns quantized centroids (k, dim)
+    int64. Each pass exchanges only O(blocks x k) partial-sum rows."""
+    import ray as _ray
+
+    m = seed_sample_size(k)
+
+    def seed_cands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        xq = quantize(_matrix(t, vec_col))
+        h = mix64(ids.astype(np.uint64))
+        order = np.argsort(h, kind="stable")[:m]
+        return pa.table(
+            {
+                "h": pa.array(h[order], pa.uint64()),
+                "q": pa.array([xq[i].tobytes() for i in order], pa.binary()),
+            }
+        )
+
+    # bottom-m merge of per-block seed candidates (m x blocks tiny rows);
+    # seed_from_sample re-takes the global bottom-m, so the union suffices
+    hs: list[int] = []
+    qs: list[bytes] = []
+    for b in ds.map_batches(seed_cands, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        hs.extend(b["h"].to_pylist())
+        qs.extend(b["q"].to_pylist())
+    cq = seed_from_sample(
+        np.asarray(hs, dtype=np.uint64), np.stack([np.frombuffer(q, np.int64) for q in qs]), k
+    )
+
+    for _ in range(iters):
+        ref = _ray.put(cq.tobytes())
+        dim = cq.shape[1]
+
+        def partial(t: pa.Table, _ref=ref, _dim=dim) -> pa.Table:
+            c = np.frombuffer(_ray.get(_ref), np.int64).reshape(-1, _dim)
+            xq = quantize(_matrix(t, vec_col))
+            present, counts, sums = _block_partials(xq, c, len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(present, pa.int64()),
+                    "count": pa.array(counts[present], pa.int64()),
+                    "sums": pa.array(
+                        [sums[j].tobytes() for j in present], pa.binary()
+                    ),
+                }
+            )
+
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, cq.shape[1]), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            cl = b["cluster"].to_numpy(zero_copy_only=False)
+            counts[cl] += b["count"].to_numpy(zero_copy_only=False)
+            for j, buf in zip(cl, b["sums"].to_pylist()):
+                sums[j] += np.frombuffer(buf, np.int64)
+        cq = update_centroids(cq, counts, sums)
+    return cq
+
+
+def kmeans_assign(ds, cq: np.ndarray, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """One streaming assignment pass: rows ``{vec_id, cluster}``."""
+    import ray as _ray
+
+    ref = _ray.put(cq.tobytes())
+    dim = cq.shape[1]
+
+    def am(t: pa.Table) -> pa.Table:
+        c = np.frombuffer(_ray.get(ref), np.int64).reshape(-1, dim)
+        xq = quantize(_matrix(t, vec_col))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(assign_clusters(xq, c), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(am, batch_format="pyarrow")
+
+
+def kmeans_fit_mirror(vec_ids: np.ndarray, m: np.ndarray, k: int,
+                      iters: int) -> np.ndarray:
+    """Single-process mirror of kmeans_fit (same kernels, one pass per
+    iteration) — the sidecar-oracle twin. Bit-identical because every
+    operation is integer-exact and order-free."""
+    xq = quantize(m)
+    cq = init_centroids_quantized(vec_ids, xq, k)
+    for _ in range(iters):
+        present, counts, sums = _block_partials(xq, cq, k)
+        cq = update_centroids(cq, counts, sums)
+    return cq
