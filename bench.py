@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "approx_distinct_by_type",
     "kmeans_clusters",
     "value_zscores",
+    "semantic_dedup",
 ]
 
 

@@ -2908,6 +2908,30 @@ SELECT vec_id, cluster FROM read_parquet('{_ORACLE01}/kmeans_clusters.parquet')
 """
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup composed end-to-end (cluster, then prune near-duplicates
+    WITHIN each cluster): k-means turns the corpus-wide O(n^2) cosine
+    problem into K independent bounded ones; the only exchange is one
+    cluster-keyed shuffle of (id, embedding) rows. Complements
+    `embedding_dedup_filter` (LSH-banded) as the clustering-based
+    near-dedup path. Sidecar mirror shares every kernel, so kept-set parity
+    certifies the fit + assignment + per-cluster prune plumbing."""
+    from qwen_ocr_ray.stages.kmeans import semantic_dedup
+
+    return semantic_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        KMEANS_K, KMEANS_ITERS, SEMDEDUP_THRESHOLD,
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+SELECT vec_id FROM read_parquet('{_ORACLE01}/semantic_dedup_kept.parquet')
+"""
+
+
 def q_value_zscores(sf_dir: str):
     """Two-pass z-score standardization of events.value (the feature-scaling
     primitive): pass 1 folds each block to THREE scalars (count, sum, sum of
@@ -2963,6 +2987,7 @@ QUERIES.update(
         "unigram_logprob": q_unigram_logprob,
         "kmeans_clusters": q_kmeans_clusters,
         "value_zscores": q_value_zscores,
+        "semantic_dedup": q_semantic_dedup,
     }
 )
 ORACLE.update(
@@ -2972,6 +2997,7 @@ ORACLE.update(
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "kmeans_clusters": SQL_KMEANS_CLUSTERS,
         "value_zscores": SQL_VALUE_ZSCORES,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
     }
 )
 
@@ -2987,7 +3013,7 @@ _CERT_PRIORITY = [
     "substring_dup_stats", "heavy_hitters", "stratified_sample",
     "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
     "cms_point_counts", "quantiles_by_type", "unigram_logprob",
-    "kmeans_clusters", "value_zscores",
+    "kmeans_clusters", "value_zscores", "semantic_dedup",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 8  # v7: cms_point_counts + group_quantiles; v8: kmeans_clusters
+ORACLE_VERSION = 9  # v8: kmeans_clusters; v9: semantic_dedup_kept
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -488,6 +488,32 @@ def expected_kmeans(emb: pa.Table) -> pa.Table:
     )
 
 
+def expected_semantic_dedup(emb: pa.Table) -> pa.Table:
+    """Mirror of semantic_dedup: same fit, same assignment, same per-cluster
+    prune kernel over identically sorted rows (bit-identical; the matmul
+    sees the same arrays in the same order on both sides)."""
+    from qwen_ocr_ray.pipelines.queries import (
+        KMEANS_ITERS, KMEANS_K, SEMDEDUP_THRESHOLD,
+    )
+    from qwen_ocr_ray.stages.kmeans import (
+        assign_clusters, kmeans_fit_mirror, quantize, semantic_prune_cluster,
+    )
+
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cq = kmeans_fit_mirror(ids, m, KMEANS_K, KMEANS_ITERS)
+    a = assign_clusters(quantize(m), cq)
+    kept: list[int] = []
+    for c in np.unique(a):
+        sel = a == c
+        kept.extend(
+            np.sort(
+                semantic_prune_cluster(ids[sel], m[sel], SEMDEDUP_THRESHOLD)
+            ).tolist()
+        )
+    return pa.table({"vec_id": pa.array(sorted(kept), pa.int64())})
+
+
 def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> str:
     """Generate-and-cache every expected table for ``sf_dir``; returns the
     cache dir. Atomic per-file writes + a _SUCCESS marker; concurrent callers
@@ -521,6 +547,7 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "bloom_kept.parquet": expected_bloom_kept(docs),
         "domain_partitions.parquet": expected_domain_partitions(pages_path),
         "kmeans_clusters.parquet": expected_kmeans(emb),
+        "semantic_dedup_kept.parquet": expected_semantic_dedup(emb),
         **expected_sketches(sf_dir),
     }
     for name, table in tables.items():

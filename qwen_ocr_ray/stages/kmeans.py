@@ -183,6 +183,36 @@ def kmeans_assign(ds, cq: np.ndarray, id_col: str = "vec_id",
     return ds.map_batches(am, batch_format="pyarrow")
 
 
+SEM_CHUNK = 2048  # pairwise-block cap inside a cluster
+
+
+def semantic_prune_cluster(vec_ids: np.ndarray, m: np.ndarray,
+                           threshold: float) -> np.ndarray:
+    """Within-cluster SemDeDup prune: drop vec j iff some lower-id vec i in
+    the cluster has cosine(i, j) >= threshold (the repo's greedy
+    larger-member-drops rule, `similarity.near_dup_representatives`).
+    Rows are processed in vec_id order in SEM_CHUNK blocks so peak memory is
+    O(chunk x cluster), never cluster^2; at corpus scale K is sized ~n/1000
+    so expected cluster size stays bounded. Scores threshold on the
+    round(6) value so engine ulp differences cannot flip membership; the
+    sidecar mirror calls THIS kernel on identically sorted rows, so results
+    are bit-identical."""
+    order = np.argsort(vec_ids, kind="stable")
+    ids, x = vec_ids[order], m[order]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    g = len(ids)
+    dropped = np.zeros(g, dtype=bool)
+    for lo in range(0, g, SEM_CHUNK):
+        hi = min(g, lo + SEM_CHUNK)
+        s = np.round(x[lo:hi] @ x[:hi].T, 6) >= threshold
+        # only i < j witnesses count: columns < lo always qualify; within
+        # the chunk's own square keep the strict lower triangle (col < row)
+        s[:, lo:hi] &= np.tri(hi - lo, hi - lo, -1, dtype=bool)
+        dropped[lo:hi] = s.any(axis=1)
+    return ids[~dropped]
+
+
 def kmeans_fit_mirror(vec_ids: np.ndarray, m: np.ndarray, k: int,
                       iters: int) -> np.ndarray:
     """Single-process mirror of kmeans_fit (same kernels, one pass per
@@ -194,3 +224,36 @@ def kmeans_fit_mirror(vec_ids: np.ndarray, m: np.ndarray, k: int,
         present, counts, sums = _block_partials(xq, cq, k)
         cq = update_centroids(cq, counts, sums)
     return cq
+
+
+def semantic_dedup(ds, k: int, iters: int, threshold: float,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. '23) as a Ray Data composition: k-means
+    clusters the corpus (quantized Lloyd above), then each cluster prunes
+    its internal near-duplicates independently — the clustering turns the
+    corpus-wide O(n^2) cosine problem into K independent bounded ones, and
+    the cluster-keyed exchange moves (id, embedding) rows exactly once.
+    Returns kept ids ``{vec_id}``."""
+    import ray as _ray
+
+    cq = kmeans_fit(ds, k, iters)
+    ref = _ray.put(cq.tobytes())
+    dim = cq.shape[1]
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = np.frombuffer(_ray.get(ref), np.int64).reshape(-1, dim)
+        xq = quantize(_matrix(t, vec_col))
+        return t.append_column(
+            "cluster", pa.array(assign_clusters(xq, c), pa.int64())
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        kept = semantic_prune_cluster(ids, _matrix(t, vec_col), threshold)
+        return pa.table({id_col: pa.array(np.sort(kept), pa.int64())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

@@ -79,3 +79,34 @@ class TestKmeansDistributed:
         cq = kmeans_fit_mirror(ids, m, KMEANS_K, KMEANS_ITERS)
         exp = dict(zip(ids.tolist(), assign_clusters(quantize(m), cq).tolist()))
         assert got == exp
+
+
+class TestSemanticPrune:
+    def test_planted_duplicate_dropped_keeps_lowest_id(self):
+        from qwen_ocr_ray.stages.kmeans import semantic_prune_cluster
+
+        rng = np.random.RandomState(4)
+        m = rng.normal(size=(20, 8))
+        m[7] = m[3] * 2.0  # same direction -> cosine 1.0 with id 3
+        ids = np.arange(20, dtype=np.int64)
+        kept = semantic_prune_cluster(ids, m, 0.99)
+        assert 3 in kept and 7 not in kept
+
+    def test_chunked_equals_whole(self):
+        import qwen_ocr_ray.stages.kmeans as km
+
+        rng = np.random.RandomState(5)
+        m = rng.normal(size=(300, 8))
+        # plant several near-dup chains crossing would-be chunk boundaries
+        for a, b in [(0, 299), (10, 150), (149, 151)]:
+            m[b] = m[a] + rng.normal(scale=0.01, size=8)
+        ids = np.arange(300, dtype=np.int64)
+        whole = km.semantic_prune_cluster(ids, m, 0.9)
+        old = km.SEM_CHUNK
+        try:
+            km.SEM_CHUNK = 64
+            chunked = km.semantic_prune_cluster(ids, m, 0.9)
+        finally:
+            km.SEM_CHUNK = old
+        assert (whole == chunked).all()
+        assert len(whole) < 300  # the planted dups actually dropped
