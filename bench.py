@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "value_zscores",
     "semantic_dedup",
+    "shuffle_shards",
 ]
 
 

@@ -2980,6 +2980,44 @@ FROM events, stats
 """
 
 
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 0x5EED
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global training-shuffle: shard = mix-hash(doc_id ^ seed)
+    mod S, in-shard order = the same hash — a seeded permutation that needs
+    NO shuffle operator at all (a pure map assigns shards; the sharded
+    writer's partition-by-column handles placement), is reproducible across
+    runs/retries/cluster sizes, and re-keys on a new seed without state. The
+    classic alternative (`random_shuffle`) is a full all-to-all exchange
+    with RNG state; content-free hash sharding is how 100 TB training data
+    is actually shuffled. Emits (doc_id, shard, sort_key); the oracle reruns
+    the identical overflow-safe integer arithmetic."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids ^ SHUFFLE_SEED) % STRAT_PRIME) * STRAT_MUL % STRAT_MOD
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array(h % SHUFFLE_SHARDS, pa.int64()),
+                "sort_key": pa.array(h, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(shard, batch_format="pyarrow")
+
+
+SQL_SHUFFLE_SHARDS = f"""
+SELECT doc_id,
+       (((xor(doc_id, {SHUFFLE_SEED}) % {STRAT_PRIME}) * {STRAT_MUL}) % {STRAT_MOD}) % {SHUFFLE_SHARDS} AS shard,
+       ((xor(doc_id, {SHUFFLE_SEED}) % {STRAT_PRIME}) * {STRAT_MUL}) % {STRAT_MOD} AS sort_key
+FROM documents
+"""
+
+
 QUERIES.update(
     {
         "cms_point_counts": q_cms_point_counts,
@@ -2988,6 +3026,7 @@ QUERIES.update(
         "kmeans_clusters": q_kmeans_clusters,
         "value_zscores": q_value_zscores,
         "semantic_dedup": q_semantic_dedup,
+        "shuffle_shards": q_shuffle_shards,
     }
 )
 ORACLE.update(
@@ -2998,6 +3037,7 @@ ORACLE.update(
         "kmeans_clusters": SQL_KMEANS_CLUSTERS,
         "value_zscores": SQL_VALUE_ZSCORES,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "shuffle_shards": SQL_SHUFFLE_SHARDS,
     }
 )
 
@@ -3013,7 +3053,7 @@ _CERT_PRIORITY = [
     "substring_dup_stats", "heavy_hitters", "stratified_sample",
     "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
     "cms_point_counts", "quantiles_by_type", "unigram_logprob",
-    "kmeans_clusters", "value_zscores", "semantic_dedup",
+    "kmeans_clusters", "value_zscores", "semantic_dedup", "shuffle_shards",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",
