@@ -1869,12 +1869,11 @@ def q_tfidf_top_terms(sf_dir: str):
     so Ray and the SQL oracle cut identical ties."""
     import collections
     import math
-    import re as _re
 
     import numpy as np
     import ray as _ray
 
-    tok = _re.compile(r"[a-z0-9]+")
+    from qwen_ocr_ray.functions.text_hash import _TOKEN_RE as tok  # one tokenization contract
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = float(
         pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
@@ -2282,9 +2281,8 @@ def q_repetition_scores(sf_dir: str):
     shuffle. int/int divisions are bit-identical cross-engine (CLAUDE.md),
     so no float canonicalization is needed."""
     import collections
-    import re as _re
 
-    tok = _re.compile(r"[a-z0-9]+")
+    from qwen_ocr_ray.functions.text_hash import _TOKEN_RE as tok  # one tokenization contract
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def score(t: pa.Table) -> pa.Table:
@@ -2351,9 +2349,8 @@ def q_token_doc_freq(sf_dir: str):
     top-k then a final sort+limit bounds the tail to k x blocks rows
     (top-k under a total order is mergeable)."""
     import collections
-    import re as _re
 
-    tok = _re.compile(r"[a-z0-9]+")
+    from qwen_ocr_ray.functions.text_hash import _TOKEN_RE as tok  # one tokenization contract
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2813,11 +2810,10 @@ def q_unigram_logprob(sf_dir: str):
     canonicalized round(4)->float32 on both sides."""
     import collections
     import math
-    import re as _re
 
     import ray as _ray
 
-    tok = _re.compile(r"[a-z0-9]+")
+    from qwen_ocr_ray.functions.text_hash import _TOKEN_RE as tok  # one tokenization contract
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial_tf(t: pa.Table) -> pa.Table:

@@ -284,17 +284,20 @@ def run_sharded_extraction(
                 ds = _build_shard_dataset(shard, cfg, backend)
             ds.write_parquet(tmp_dir)
             os.replace(tmp_dir, final_dir)
+            import pyarrow.compute as _pc
             import pyarrow.parquet as pq
 
+            # one footer open per file serves rows_out AND the schema check;
+            # the token columns are read once for the cost roll-up
             files = [f for f in os.listdir(final_dir) if f.endswith(".parquet")]
-            tok_in = tok_out = 0
+            tok_in = tok_out = rows_out = 0
             for f in files:
                 fp = os.path.join(final_dir, f)
-                schema_names = pq.read_schema(fp).names
+                meta = pq.read_metadata(fp)
+                rows_out += meta.num_rows
+                schema_names = meta.schema.to_arrow_schema().names
                 cols = [c for c in ("input_tokens", "output_tokens") if c in schema_names]
                 if cols:
-                    import pyarrow.compute as _pc
-
                     tt = pq.read_table(fp, columns=cols)
                     if "input_tokens" in cols:
                         tok_in += _pc.sum(tt["input_tokens"]).as_py() or 0
@@ -304,9 +307,7 @@ def run_sharded_extraction(
 
             manifest.update(
                 status="done",
-                rows_out=sum(
-                    pq.read_metadata(os.path.join(final_dir, f)).num_rows for f in files
-                ),
+                rows_out=rows_out,
                 bytes_out=sum(os.path.getsize(os.path.join(final_dir, f)) for f in files),
                 input_tokens=int(tok_in),
                 output_tokens=int(tok_out),

@@ -33,6 +33,19 @@ KMEANS_SCALE = 1 << 24  # fixed-point quantization step
 
 
 def quantize(m: np.ndarray) -> np.ndarray:
+    """Fixed-point quantization. Guards the int64-exactness precondition of
+    the distance expansion: dim * (2 * max|x| * 2^24)^2 must stay under
+    2^62, i.e. max|x| <= sqrt(2^12 / dim) (8.0 at dim 64). Without the
+    check, non-unit-norm inputs would WRAP silently — and wrap identically
+    in the mirror, so the bit-parity oracle would mask garbage clusters."""
+    if m.size:
+        limit = float(np.sqrt(4096.0 / m.shape[-1]))
+        peak = float(np.abs(m).max())
+        if peak > limit:
+            raise ValueError(
+                f"kmeans quantization overflow: max|x|={peak:.3g} exceeds "
+                f"{limit:.3g} at dim {m.shape[-1]} — normalize the vectors"
+            )
     return np.round(m * KMEANS_SCALE).astype(np.int64)
 
 

@@ -342,12 +342,16 @@ IVF_VERSION = 1
 
 
 def ivf_index_dir(path: str, centroids: np.ndarray) -> str:
-    """Deterministic cache location for a (table, centroids) IVF index."""
+    """Deterministic cache location for a (table, centroids) IVF index.
+    Keyed on size AND mtime_ns so regenerating the table with same-size but
+    different content (beyond the bounded centroid-training sample) cannot
+    silently reuse a stale index — the CLAUDE.md stale-cache failure mode."""
     import hashlib
     import os
 
+    st = os.stat(path)
     key = hashlib.md5(
-        f"{os.path.abspath(path)}|{os.path.getsize(path)}|v{IVF_VERSION}".encode()
+        f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|v{IVF_VERSION}".encode()
         + np.asarray(centroids, dtype=np.float64).tobytes()
     ).hexdigest()
     return f"/tmp/qor_ivf/{key}"
@@ -393,10 +397,26 @@ def build_ivf_index(
         .map_batches(assign, batch_format="pyarrow")
         .write_parquet(tmp, partition_cols=["cell"])
     )
-    shutil.rmtree(idx, ignore_errors=True)
-    os.rename(tmp, idx)
-    with open(marker, "w") as f:
+    # Atomic publish, concurrent-safe (same discipline as the repo's other
+    # caches): the marker is written INSIDE tmp so a published dir is always
+    # complete, and rename-without-delete means a loser never rmtree's a
+    # winner's live index out from under its readers — POSIX rename onto an
+    # existing non-empty dir fails, and we then just use the winner's copy.
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok\n")
+    try:
+        os.rename(tmp, idx)
+    except OSError:
+        if os.path.exists(marker):  # a concurrent winner published — use it
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:  # stale incomplete dir (crashed build, no readers): replace
+            shutil.rmtree(idx, ignore_errors=True)
+            try:
+                os.rename(tmp, idx)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise
     return idx
 
 

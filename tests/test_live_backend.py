@@ -31,15 +31,16 @@ class _StubHandler(BaseHTTPRequestHandler):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         model = body["model"]
         is_json_mode = body.get("response_format", {}).get("type") == "json_object"
-        self.state.setdefault("requests", []).append(
-            {"model": model, "stream": body.get("stream", False),
-             "json_mode": is_json_mode,
-             "auth": self.headers.get("Authorization")}
-        )
+        rec = {"model": model, "stream": body.get("stream", False),
+               "json_mode": is_json_mode,
+               "auth": self.headers.get("Authorization"),
+               "t_in": time.monotonic()}
+        self.state.setdefault("requests", []).append(rec)
         if model == "m-slow-both":
-            # concurrency probe: each call takes 0.5 s; a text+figures pair
-            # issued concurrently completes in well under 1.0 s
+            # concurrency probe: each call takes 0.5 s; a concurrent
+            # text+figures pair has OVERLAPPING handling windows
             time.sleep(0.5)
+        rec["t_out"] = time.monotonic()
         if is_json_mode and model in ("m-both", "m-slow-both"):
             content = json.dumps(
                 {"images": [{"page_number": 1, "fig_number": 1, "x1": 10,
@@ -203,8 +204,11 @@ class TestConcurrentTextAndFigures:
         # ONE text call (streamed) + ONE figure call (json mode) per window
         assert len(reqs) == 2
         assert sorted(r["json_mode"] for r in reqs) == [False, True]
-        # both 0.5 s calls overlapped: sequential would be >= 1.0 s
-        assert wall < 0.95
+        # both calls overlapped: the second ARRIVED before the first left
+        # the handler (load-robust — a wall-clock bound flakes on this VM's
+        # documented timing variance; keep only a liveness ceiling)
+        assert max(r["t_in"] for r in reqs) < min(r["t_out"] for r in reqs)
+        assert wall < 5.0
 
     def test_detect_figures_off_keeps_schema(self, stub_server):
         import pyarrow as pa
