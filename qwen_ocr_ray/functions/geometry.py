@@ -44,6 +44,8 @@ def content_bbox(img: np.ndarray, white_threshold: int = 250) -> Bbox | None:
     """
     # 255 - x is non-zero except at x == 255, and x < threshold already excludes
     # that case for threshold <= 255 — so the non-zero mask is simply x < threshold.
+    # (measured: compare+bool-any beats min(axis=2)<t 2x — numpy's uint8
+    # reduce over the short last axis is slower than the bool temp)
     mask = (img < white_threshold).any(axis=2)
     rows = np.flatnonzero(mask.any(axis=1))
     cols = np.flatnonzero(mask.any(axis=0))

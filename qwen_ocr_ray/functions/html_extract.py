@@ -105,30 +105,39 @@ def _is_boilerplate(node: Node) -> bool:
     return bool(cue.strip() and BOILERPLATE_CUE.search(cue))
 
 
-def _text_stats(node: Node | str) -> tuple[int, int]:
-    """(total_text_len, link_text_len) over a subtree, whitespace-collapsed."""
+def _text_stats(node: Node | str,
+                memo: dict[int, tuple[int, int]] | None = None) -> tuple[int, int]:
+    """(total_text_len, link_text_len) over a subtree, whitespace-collapsed.
+    With ``memo``, every Node's stats are recorded in ONE bottom-up pass —
+    the per-candidate recursion otherwise recomputes nested containers
+    O(depth) times (profiled: 360k calls for 13.6k nodes, ~0.8 s/batch)."""
     if isinstance(node, str):
         t = _WS.sub(" ", node).strip()
         return len(t), 0
     if node.tag in STRIP_TAGS:
+        if memo is not None:
+            memo[id(node)] = (0, 0)
         return 0, 0
     total = link = 0
     for c in node.children:
-        t, l = _text_stats(c)
+        t, l = _text_stats(c, memo)
         total += t
         link += l
     if node.tag == "a":
         link = total
+    if memo is not None:
+        memo[id(node)] = (total, link)
     return total, link
 
 
-def _candidates(node: Node, out: list[tuple[float, Node]]) -> None:
+def _candidates(node: Node, out: list[tuple[float, Node]],
+                memo: dict[int, tuple[int, int]]) -> None:
     """Collect scored content candidates: blocks with high text mass and low
     link density (Readability-style: score = text_len * (1 - link_density))."""
     if isinstance(node, str) or node.tag in STRIP_TAGS or _is_boilerplate(node):
         return
     if node.tag in ("article", "main", "body", "div", "section", "td"):
-        total, link = _text_stats(node)
+        total, link = memo[id(node)]
         if total > 0:
             density = link / total
             score = total * (1.0 - density)
@@ -139,13 +148,15 @@ def _candidates(node: Node, out: list[tuple[float, Node]]) -> None:
             out.append((score, node))
     for c in node.children:
         if isinstance(c, Node):
-            _candidates(c, out)
+            _candidates(c, out, memo)
 
 
 def select_main_content(root: Node) -> Node:
     """Pick the highest-scoring content container; fall back to the whole tree."""
+    memo: dict[int, tuple[int, int]] = {}
+    _text_stats(root, memo)
     scored: list[tuple[float, Node]] = []
-    _candidates(root, scored)
+    _candidates(root, scored, memo)
     if not scored:
         return root
     best_score, best = scored[0]
