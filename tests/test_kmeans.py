@@ -110,3 +110,21 @@ class TestSemanticPrune:
             km.SEM_CHUNK = old
         assert (whole == chunked).all()
         assert len(whole) < 300  # the planted dups actually dropped
+
+
+class TestBlockSplitInvariance:
+    def test_fit_identical_across_block_layouts(self, ray_session):
+        """The quantized fold is order/split-free: fitting over 2 blocks and
+        over 9 blocks must give byte-identical centroids (what makes the
+        sidecar mirror a valid oracle at ANY cluster size)."""
+        import ray.data
+
+        from qwen_ocr_ray.stages.kmeans import kmeans_fit
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        cq2 = kmeans_fit(ray.data.from_arrow(t).repartition(2), 10, 3)
+        cq9 = kmeans_fit(ray.data.from_arrow(t).repartition(9), 10, 3)
+        assert (cq2 == cq9).all()
