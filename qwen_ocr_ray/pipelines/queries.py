@@ -2798,16 +2798,24 @@ FROM read_parquet('{_ORACLE01}/group_quantiles.parquet')
 """
 
 
+UNIGRAM_VOCAB = 16  # top-V cap; binds on the testdata (31-token vocabulary)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram-LM quality score (the sandbox-honest form of perplexity
-    filtering, CCNet/Gopher-style): pass 1 trains the LM — global token
-    counts via the per-batch combiner + grouped_sums exchange (at web scale
-    cap the vocabulary to the top-V tokens by count with the mergeable
-    block-top-k used in corpus_rebalance; unchanged here where V is small) —
-    then the count table broadcasts ONCE via ray.put and pass 2 streams
-    documents through an actor pool scoring mean ln(c_w / N) per doc.
-    Summation order differs from SQL's AVG in the last ulp, so the mean is
-    canonicalized round(4)->float32 on both sides."""
+    filtering, CCNet/Gopher-style). Pass 1 trains the LM with a BOUNDED
+    driver footprint at any corpus size: per-batch combiner + grouped_sums
+    gives exact per-token totals DISTRIBUTED, the vocabulary is capped to
+    the top-V tokens by (count desc, token asc) via a distributed sort+limit
+    of the tiny (token, tf) rows, and every out-of-vocabulary occurrence
+    shares one UNK bucket holding the remaining mass — the driver collects
+    V rows + two scalars, never the vocabulary. Pass 2 broadcasts the V-row
+    table once and streams documents through an actor pool scoring mean
+    ln(c_w / N). The cap BINDS on the testdata (V=16 < the 31-token
+    vocabulary), so the UNK path is exercised, and the SQL oracle reruns
+    the identical rank/cutoff/UNK arithmetic. Summation order differs from
+    SQL in the last ulp, so the mean is canonicalized round(4)->float32 on
+    both sides."""
     import collections
     import math
 
@@ -2832,15 +2840,17 @@ def q_unigram_logprob(sf_dir: str):
         ds.map_batches(partial_tf, batch_format="pyarrow"),
         keys=["token"], sum_cols={"tf": "tf"},
     )
-    tf_map: dict[str, int] = {}
-    for b in tft.iter_batches(batch_size=None, batch_format="pyarrow"):
-        tf_map.update(zip(b["token"].to_pylist(), b["tf"].to_pylist()))
-    n_total = float(sum(tf_map.values()))
-    ref = _ray.put(tf_map)
+    n_total = float(tft.sum("tf"))
+    topv = tft.sort(["tf", "token"], descending=[True, False]).limit(
+        UNIGRAM_VOCAB
+    ).take_all()
+    tf_map = {r["token"]: r["tf"] for r in topv}
+    unk_mass = n_total - float(sum(tf_map.values()))
+    ref = _ray.put((tf_map, unk_mass))
 
     class Score:
         def __init__(self):
-            self.tf = _ray.get(ref)
+            self.tf, self.unk = _ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids, ns, lps = [], [], []
@@ -2848,7 +2858,10 @@ def q_unigram_logprob(sf_dir: str):
                 words = tok.findall(text.lower())
                 if not words:
                     continue  # SQL's tok CTE has no rows for token-free docs
-                s = sum(math.log(self.tf[w] / n_total) for w in words)
+                s = sum(
+                    math.log((self.tf.get(w) or self.unk) / n_total)
+                    for w in words
+                )
                 ids.append(did)
                 ns.append(len(words))
                 lps.append(float(np.float32(round(s / len(words), 4))))
@@ -2863,17 +2876,22 @@ def q_unigram_logprob(sf_dir: str):
     return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
 
 
-SQL_UNIGRAM_LOGPROB = """
+SQL_UNIGRAM_LOGPROB = f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
   FROM documents
 ),
 cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT {UNIGRAM_VOCAB}),
+unk AS (
+  SELECT (SELECT SUM(c) FROM cnt) - (SELECT SUM(c) FROM vocab) AS u
+)
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(ROUND(SUM(ln(c.c / n.n)) / COUNT(*), 4) AS REAL) AS logprob
-FROM tok t JOIN cnt c USING (token), n
+       CAST(ROUND(SUM(ln(COALESCE(v.c, unk.u) / n.n)) / COUNT(*), 4) AS REAL)
+         AS logprob
+FROM tok t LEFT JOIN vocab v USING (token), n, unk
 GROUP BY t.doc_id
 """
 
