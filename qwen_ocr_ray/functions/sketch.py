@@ -57,24 +57,47 @@ def string_hashes(values: list[str]) -> np.ndarray:
 HLL_P = 12  # 4096 registers, ~1.6% standard error, 4 KiB per sketch
 
 
-def hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
-    """Fold uint64 hashes into a 2^p uint8 register array (one batch)."""
+def hll_index_rank(hashes: np.ndarray, p: int = HLL_P) -> tuple[np.ndarray, np.ndarray]:
+    """Per-hash (register index, rank) pairs — the scatter inputs shared by
+    the flat and grouped register folds."""
     if p < 12:
         # The frexp rank trick below is only exact when the (64-p)-bit
         # suffix fits float64's 52-bit mantissa; smaller p silently biases
         # ranks when the suffix rounds across a power of two.
-        raise ValueError(f"hll_registers requires p >= 12 (got {p})")
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if len(hashes) == 0:
-        return regs
+        raise ValueError(f"hll registers require p >= 12 (got {p})")
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     w = hashes & np.uint64((1 << (64 - p)) - 1)
     # rank = leading zeros of the (64-p)-bit suffix + 1 = (64-p) - bitlen + 1;
     # suffix < 2^52 for p >= 12 so float64 frexp exponents are exact
     bitlen = np.frexp(w.astype(np.float64))[1]
-    rank = np.uint8(64 - p + 1) - bitlen.astype(np.uint8)
-    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    rank = (np.uint8(64 - p + 1) - bitlen.astype(np.uint8)).astype(np.uint8)
+    return idx, rank
+
+
+def hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Fold uint64 hashes into a 2^p uint8 register array (one batch)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        if p < 12:
+            raise ValueError(f"hll registers require p >= 12 (got {p})")
+        return regs
+    idx, rank = hll_index_rank(hashes, p)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_registers_grouped(group_idx: np.ndarray, hashes: np.ndarray,
+                          n_groups: int, p: int = HLL_P) -> np.ndarray:
+    """Fold hashes into PER-GROUP register arrays in one scatter: a
+    (n_groups, 2^p) uint8 matrix via a single ``np.maximum.at`` on
+    (group, register) pairs — O(n) at any group cardinality (the per-group
+    mask loop it replaces was O(groups x n)). Row g equals
+    ``hll_registers(hashes[group_idx == g], p)`` exactly (max is max)."""
+    regs = np.zeros((n_groups, 1 << p), dtype=np.uint8)
+    if len(hashes):
+        idx, rank = hll_index_rank(hashes, p)
+        np.maximum.at(regs, (group_idx, idx), rank)
     return regs
 
 

@@ -2681,21 +2681,23 @@ def q_approx_distinct_by_type(sf_dir: str):
     the per-key merge is an associative register max. The global
     ``approx_distinct_users`` is the 1-group special case; this is the
     shape that replaces COUNT(DISTINCT) GROUP BY at scale."""
-    from qwen_ocr_ray.functions.sketch import hll_estimate, hll_registers, mix64
+    from qwen_ocr_ray.functions.sketch import (
+        hll_estimate, hll_registers_grouped, mix64,
+    )
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         types = t["event_type"].to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keys = sorted(set(types.tolist()))
+        # one scatter builds ALL per-key register rows — O(n) at any key
+        # cardinality (np.unique returns keys sorted, matching the mirror)
+        keys, inv = np.unique(types, return_inverse=True)
+        regs = hll_registers_grouped(inv, mix64(uid), len(keys))
         return pa.table(
             {
                 "event_type": pa.array(keys, pa.string()),
-                "regs": pa.array(
-                    [hll_registers(mix64(uid[types == ty])).tobytes() for ty in keys],
-                    pa.binary(),
-                ),
+                "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
             }
         )
 
