@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "value_zscores",
     "semantic_dedup",
     "shuffle_shards",
+    "weighted_sample",
 ]
 
 

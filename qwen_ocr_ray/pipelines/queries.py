@@ -2996,6 +2996,60 @@ FROM events, stats
 """
 
 
+WSAMPLE_K = 50  # weighted-sample size
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-ES, deterministic):
+    each doc gets key = u^(1/w) with u a hash-uniform of doc_id and
+    w = n_chars; the k LARGEST keys are a weight-proportional sample
+    (P(doc in sample) rises with w). Top-k by key is MERGEABLE — each block
+    keeps its own top-k and one tiny reduce re-takes k — so the sample costs
+    O(blocks x k) exchange at any corpus size, and the hash-derived u makes
+    the verdict identical on any block split / retry / resume (no RNG
+    state). The sampling-by-quality-weight primitive for corpus mixing;
+    sidecar oracle is the single-process mirror of the same key kernel."""
+    from qwen_ocr_ray.functions.sketch import mix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keys_for(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        u = (mix64(ids.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+        return u ** (1.0 / np.maximum(w.astype(np.float64), 1.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False)
+        key = keys_for(ids, w)
+        # primary -key, doc_id asc tie-break (float keys can collide)
+        order = np.lexsort((ids, -key))[:WSAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(w[order], pa.int64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    def retake(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:WSAMPLE_K]
+        out = t.take(pa.array(order, pa.int64())).drop_columns(["key"])
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(retake, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars FROM read_parquet('{_ORACLE01}/weighted_sample.parquet')
+"""
+
+
 SHUFFLE_SHARDS = 8
 SHUFFLE_SEED = 0x5EED
 
@@ -3043,6 +3097,7 @@ QUERIES.update(
         "value_zscores": q_value_zscores,
         "semantic_dedup": q_semantic_dedup,
         "shuffle_shards": q_shuffle_shards,
+        "weighted_sample": q_weighted_sample,
     }
 )
 ORACLE.update(
@@ -3054,6 +3109,7 @@ ORACLE.update(
         "value_zscores": SQL_VALUE_ZSCORES,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
     }
 )
 
@@ -3070,6 +3126,7 @@ _CERT_PRIORITY = [
     "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
     "cms_point_counts", "quantiles_by_type", "unigram_logprob",
     "kmeans_clusters", "value_zscores", "semantic_dedup", "shuffle_shards",
+    "weighted_sample",
     # never driver-certified (registered late in r03)
     "length_percentiles", "pack_chunks", "repetition_scores",
     "token_doc_freq", "train_val_split",

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 9  # v8: kmeans_clusters; v9: semantic_dedup_kept
+ORACLE_VERSION = 10  # v9: semantic_dedup_kept; v10: weighted_sample
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -488,6 +488,30 @@ def expected_kmeans(emb: pa.Table) -> pa.Table:
     )
 
 
+def expected_weighted_sample(sf_dir: str) -> pa.Table:
+    """Single-process mirror of q_weighted_sample: same hash-uniform key
+    kernel (u^(1/w)), same (-key, doc_id) order, same top-k — bit-identical
+    because the distributed per-block top-k union re-taken to k equals the
+    one-pass top-k under an identical total order."""
+    from qwen_ocr_ray.functions.sketch import mix64
+    from qwen_ocr_ray.pipelines.queries import WSAMPLE_K
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    w = t["n_chars"].to_numpy(zero_copy_only=False)
+    u = (mix64(ids.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+    key = u ** (1.0 / np.maximum(w.astype(np.float64), 1.0))
+    order = np.lexsort((ids, -key))[:WSAMPLE_K]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_chars": pa.array(w[order], pa.int64()),
+        }
+    )
+
+
 def expected_semantic_dedup(emb: pa.Table) -> pa.Table:
     """Mirror of semantic_dedup: same fit, same assignment, same per-cluster
     prune kernel over identically sorted rows (bit-identical; the matmul
@@ -548,6 +572,7 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "domain_partitions.parquet": expected_domain_partitions(pages_path),
         "kmeans_clusters.parquet": expected_kmeans(emb),
         "semantic_dedup_kept.parquet": expected_semantic_dedup(emb),
+        "weighted_sample.parquet": expected_weighted_sample(sf_dir),
         **expected_sketches(sf_dir),
     }
     for name, table in tables.items():

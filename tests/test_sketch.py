@@ -255,3 +255,25 @@ class TestGroupedQuantiles:
         exp_t = expected_sketches(sf)["group_quantiles.parquet"]
         exp = sorted(zip(*(exp_t[c].to_pylist() for c in ("event_type", "q", "value"))))
         assert got == exp
+
+
+class TestWeightedSample:
+    def test_biases_toward_heavy_docs_and_matches_mirror(self, ray_session):
+        import numpy as np
+
+        from qwen_ocr_ray.pipelines.queries import q_weighted_sample
+        from qwen_ocr_ray.sources.oracle_sidecars import expected_weighted_sample
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["doc_id"], r["n_chars"]) for r in q_weighted_sample(sf).take_all()
+        )
+        exp_t = expected_weighted_sample(sf)
+        exp = sorted(zip(exp_t["doc_id"].to_pylist(), exp_t["n_chars"].to_pylist()))
+        assert got == exp  # distributed top-k union-retake == one-pass mirror
+        import pyarrow.parquet as pq
+
+        corpus = pq.read_table(sf + "/documents.parquet", columns=["n_chars"])
+        corpus_mean = np.mean(corpus["n_chars"].to_numpy(zero_copy_only=False))
+        sample_mean = np.mean([c for _, c in got])
+        assert sample_mean > corpus_mean  # weight-proportional selection
