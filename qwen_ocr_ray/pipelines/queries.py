@@ -2838,10 +2838,13 @@ def q_unigram_logprob(sf_dir: str):
             }
         )
 
+    # materialize the (vocab-sized, distributed) count table: it has TWO
+    # consumers below (global sum + top-V sort), and a lazy dataset would
+    # re-run the full corpus tokenization pass for each
     tft = grouped_sums(
         ds.map_batches(partial_tf, batch_format="pyarrow"),
         keys=["token"], sum_cols={"tf": "tf"},
-    )
+    ).materialize()
     n_total = float(tft.sum("tf"))
     topv = tft.sort(["tf", "token"], descending=[True, False]).limit(
         UNIGRAM_VOCAB
