@@ -128,3 +128,30 @@ class TestBlockSplitInvariance:
         cq2 = kmeans_fit(ray.data.from_arrow(t).repartition(2), 10, 3)
         cq9 = kmeans_fit(ray.data.from_arrow(t).repartition(9), 10, 3)
         assert (cq2 == cq9).all()
+
+
+class TestSemanticVsExactPairs:
+    def test_drops_are_larger_members_of_exact_pairs(self, ray_session):
+        """Cross-validation of two independent near-dup implementations:
+        every doc semantic_dedup drops must be the LARGER member of some
+        exact brute-force cosine pair >= threshold (the clustering only
+        RESTRICTS which witnesses are visible — same-cluster — so its drop
+        set is a subset of the exact greedy drop set). The converse is not
+        asserted: cross-cluster pairs are invisible to SemDeDup by design."""
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.pipelines.queries import (
+            q_embedding_pairs, q_semantic_dedup,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        kept = {r["vec_id"] for r in q_semantic_dedup(sf).take_all()}
+        all_ids = set(
+            pq.read_table(sf + "/embeddings.parquet", columns=["vec_id"])[
+                "vec_id"
+            ].to_pylist()
+        )
+        dropped = all_ids - kept
+        assert dropped, "prune should drop the planted near-dups"
+        exact_larger = {r["vec_b"] for r in q_embedding_pairs(sf).take_all()}
+        assert dropped <= exact_larger, dropped - exact_larger
