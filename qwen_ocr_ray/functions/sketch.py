@@ -57,14 +57,18 @@ def string_hashes(values: list[str]) -> np.ndarray:
 HLL_P = 12  # 4096 registers, ~1.6% standard error, 4 KiB per sketch
 
 
+def _check_hll_p(p: int) -> None:
+    if p < 12:
+        # The frexp rank trick is only exact when the (64-p)-bit suffix
+        # fits float64's 52-bit mantissa; smaller p silently biases ranks
+        # when the suffix rounds across a power of two.
+        raise ValueError(f"hll registers require p >= 12 (got {p})")
+
+
 def hll_index_rank(hashes: np.ndarray, p: int = HLL_P) -> tuple[np.ndarray, np.ndarray]:
     """Per-hash (register index, rank) pairs — the scatter inputs shared by
     the flat and grouped register folds."""
-    if p < 12:
-        # The frexp rank trick below is only exact when the (64-p)-bit
-        # suffix fits float64's 52-bit mantissa; smaller p silently biases
-        # ranks when the suffix rounds across a power of two.
-        raise ValueError(f"hll registers require p >= 12 (got {p})")
+    _check_hll_p(p)
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     w = hashes & np.uint64((1 << (64 - p)) - 1)
     # rank = leading zeros of the (64-p)-bit suffix + 1 = (64-p) - bitlen + 1;
@@ -76,14 +80,11 @@ def hll_index_rank(hashes: np.ndarray, p: int = HLL_P) -> tuple[np.ndarray, np.n
 
 def hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
     """Fold uint64 hashes into a 2^p uint8 register array (one batch)."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if len(hashes) == 0:
-        if p < 12:
-            raise ValueError(f"hll registers require p >= 12 (got {p})")
-        return regs
-    idx, rank = hll_index_rank(hashes, p)
-    np.maximum.at(regs, idx, rank)
+    _check_hll_p(p)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(hashes):
+        idx, rank = hll_index_rank(hashes, p)
+        np.maximum.at(regs, idx, rank)
     return regs
 
 
@@ -94,11 +95,25 @@ def hll_registers_grouped(group_idx: np.ndarray, hashes: np.ndarray,
     (group, register) pairs — O(n) at any group cardinality (the per-group
     mask loop it replaces was O(groups x n)). Row g equals
     ``hll_registers(hashes[group_idx == g], p)`` exactly (max is max)."""
+    _check_hll_p(p)
     regs = np.zeros((n_groups, 1 << p), dtype=np.uint8)
     if len(hashes):
         idx, rank = hll_index_rank(hashes, p)
         np.maximum.at(regs, (group_idx, idx), rank)
     return regs
+
+
+# --- weighted reservoir sampling (Efraimidis-Spirakis A-ES, deterministic) -----
+
+def aes_keys(ids: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """A-ES selection keys: key = u^(1/w) with u a hash-uniform of the id
+    (no RNG state — identical on any block split / retry / resume). The k
+    LARGEST keys under the (-key, id) total order are a weight-proportional
+    sample; top-k is mergeable (per-block top-k union re-taken to k equals
+    the one-pass top-k). ONE definition shared by the pipeline and the
+    sidecar mirror so the kernel cannot desynchronize."""
+    u = (mix64(ids.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+    return u ** (1.0 / np.maximum(weights.astype(np.float64), 1.0))
 
 
 def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:

@@ -3012,39 +3012,40 @@ def q_weighted_sample(sf_dir: str):
     the verdict identical on any block split / retry / resume (no RNG
     state). The sampling-by-quality-weight primitive for corpus mixing;
     sidecar oracle is the single-process mirror of the same key kernel."""
-    from qwen_ocr_ray.functions.sketch import mix64
+    from qwen_ocr_ray.functions.sketch import aes_keys
+    from qwen_ocr_ray.stages.sketch import _two_level_reduce
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
-    def keys_for(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
-        u = (mix64(ids.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
-        return u ** (1.0 / np.maximum(w.astype(np.float64), 1.0))
+    def _topk(t: pa.Table, drop_key: bool) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # primary -key, doc_id asc tie-break (float keys can collide)
+        order = np.lexsort((ids, -key))[:WSAMPLE_K]
+        out = t.take(pa.array(order, pa.int64()))
+        return out.drop_columns(["key"]) if drop_key else out
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         w = t["n_chars"].to_numpy(zero_copy_only=False)
-        key = keys_for(ids, w)
-        # primary -key, doc_id asc tie-break (float keys can collide)
-        order = np.lexsort((ids, -key))[:WSAMPLE_K]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], pa.int64()),
-                "n_chars": pa.array(w[order], pa.int64()),
-                "key": pa.array(key[order], pa.float64()),
-            }
+        return _topk(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_chars": pa.array(w, pa.int64()),
+                    "key": pa.array(aes_keys(ids, w), pa.float64()),
+                }
+            ),
+            drop_key=False,
         )
 
-    def retake(t: pa.Table) -> pa.Table:
-        key = t["key"].to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -key))[:WSAMPLE_K]
-        out = t.take(pa.array(order, pa.int64())).drop_columns(["key"])
-        return out
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(retake, batch_format="pyarrow", batch_size=None)
+    # top-k is associative, so the merge goes through the bounded two-level
+    # reduce (final fan-in 64 sketches) — a single repartition(1) would
+    # funnel blocks x k rows into one task at 10^6 blocks
+    return _two_level_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: _topk(t, drop_key=False),
+        lambda t: _topk(t, drop_key=True),
     )
 
 

@@ -493,7 +493,7 @@ def expected_weighted_sample(sf_dir: str) -> pa.Table:
     kernel (u^(1/w)), same (-key, doc_id) order, same top-k — bit-identical
     because the distributed per-block top-k union re-taken to k equals the
     one-pass top-k under an identical total order."""
-    from qwen_ocr_ray.functions.sketch import mix64
+    from qwen_ocr_ray.functions.sketch import aes_keys
     from qwen_ocr_ray.pipelines.queries import WSAMPLE_K
 
     t = pq.read_table(
@@ -501,8 +501,7 @@ def expected_weighted_sample(sf_dir: str) -> pa.Table:
     )
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     w = t["n_chars"].to_numpy(zero_copy_only=False)
-    u = (mix64(ids.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
-    key = u ** (1.0 / np.maximum(w.astype(np.float64), 1.0))
+    key = aes_keys(ids, w)
     order = np.lexsort((ids, -key))[:WSAMPLE_K]
     return pa.table(
         {
