@@ -2545,7 +2545,9 @@ def q_heavy_hitters(sf_dir: str):
         cand_ids.update(b["user_id"].to_pylist())
 
     n_total = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
-    cutoff = n_total * HH_PHI  # int > double compare, bit-identical to SQL
+    # int / 150.0 — the EXACT double the SQL oracle computes (COUNT(*)/150.0);
+    # n * fl(1/150) differs in the last ulp for ~half of n (ADVICE r04)
+    cutoff = n_total / 150.0
     ref = _ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def keep_candidates(t: pa.Table) -> pa.Table:
@@ -2855,26 +2857,50 @@ def q_unigram_logprob(sf_dir: str):
 
     class Score:
         def __init__(self):
-            self.tf, self.unk = _ray.get(ref)
+            # vectorized LM state, built ONCE per actor (VERDICT r04 #2):
+            # sorted vocab array + aligned log-prob array, scored per batch
+            # with ONE searchsorted over the concatenated token stream
+            tf_map, unk = _ray.get(ref)
+            toks = sorted(tf_map)
+            self.vocab = np.array(toks)  # fixed-width unicode: C-level compares
+            self.logp = np.log(
+                np.array([tf_map[w] for w in toks], dtype=np.float64) / n_total
+            )
+            self.unk_logp = math.log(unk / n_total)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids, ns, lps = [], [], []
+            ids, ns, starts, all_words = [], [], [], []
+            pos = 0
             for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
                 words = tok.findall(text.lower())
                 if not words:
                     continue  # SQL's tok CTE has no rows for token-free docs
-                s = sum(
-                    math.log((self.tf.get(w) or self.unk) / n_total)
-                    for w in words
-                )
                 ids.append(did)
                 ns.append(len(words))
-                lps.append(float(np.float32(round(s / len(words), 4))))
+                starts.append(pos)
+                all_words.extend(words)
+                pos += len(words)
+            if not ids:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "logprob": pa.array([], pa.float32()),
+                    }
+                )
+            w = np.array(all_words)
+            idx = np.searchsorted(self.vocab, w)
+            idx_c = np.minimum(idx, len(self.vocab) - 1)
+            lp = np.where(self.vocab[idx_c] == w, self.logp[idx_c], self.unk_logp)
+            sums = np.add.reduceat(lp, np.asarray(starts, dtype=np.int64))
+            means = sums / np.asarray(ns, dtype=np.float64)
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
                     "n_tokens": pa.array(ns, pa.int64()),
-                    "logprob": pa.array(lps, pa.float32()),
+                    "logprob": pa.array(
+                        np.round(means, 4).astype(np.float32), pa.float32()
+                    ),
                 }
             )
 

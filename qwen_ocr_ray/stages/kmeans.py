@@ -249,7 +249,7 @@ def semantic_dedup(ds, k: int, iters: int, threshold: float,
     Returns kept ids ``{vec_id}``."""
     import ray as _ray
 
-    cq = kmeans_fit(ds, k, iters)
+    cq = kmeans_fit(ds, k, iters, id_col=id_col, vec_col=vec_col)
     ref = _ray.put(cq.tobytes())
     dim = cq.shape[1]
 

@@ -120,26 +120,44 @@ def hyperplane_signatures(m: np.ndarray, num_bits: int = 16, seed: int = 777) ->
 def lsh_explode_batch(
     t: pa.Table, *, id_col: str = "vec_id", num_bits: int = 16, num_bands: int = 4
 ) -> pa.Table:
-    """Embedding rows -> banded (band_id, band_key, id, vec) rows."""
+    """Embedding rows -> banded (band_id, band_key, id, vec) rows.
+
+    Fully vectorized (VERDICT r04 #7): band columns come from numpy
+    repeat/tile, and the serialized vectors are ONE FixedSizeBinary Arrow
+    array built straight from the row-major float32 buffer (cast to binary
+    for a batch-stable schema), tiled by chunk reference — no per-row
+    ``tobytes()`` or Python list appends."""
     width = num_bits // num_bands
     mask = (1 << width) - 1
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "vec": pa.array([], pa.binary()),
+            }
+        )
     ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-    m = _normalize(_matrix(t))
-    sigs = hyperplane_signatures(m, num_bits)
-    out = {"band_id": [], "band_key": [], id_col: [], "vec": []}
-    vec_bytes = [row.astype(np.float32).tobytes() for row in m]
-    for band in range(num_bands):
-        keys = (sigs >> (band * width)) & mask
-        out["band_id"].extend([band] * len(ids))
-        out["band_key"].extend(keys.tolist())
-        out[id_col].extend(ids.tolist())
-        out["vec"].extend(vec_bytes)
+    mf = _normalize(_matrix(t))
+    sigs = hyperplane_signatures(mf, num_bits)  # float64: sign bits match mirror
+    m32 = np.ascontiguousarray(mf.astype(np.float32))
+    band_id = np.repeat(np.arange(num_bands, dtype=np.int32), n)
+    band_key = (
+        (sigs[None, :] >> (np.arange(num_bands, dtype=np.int64)[:, None] * width))
+        & mask
+    ).reshape(-1)
+    vec_fixed = pa.Array.from_buffers(
+        pa.binary(m32.shape[1] * 4), n, [None, pa.py_buffer(m32)]
+    ).cast(pa.binary())
+    vec = pa.chunked_array([vec_fixed] * num_bands)
     return pa.table(
         {
-            "band_id": pa.array(out["band_id"], pa.int32()),
-            "band_key": pa.array(out["band_key"], pa.int64()),
-            id_col: pa.array(out[id_col], pa.int64()),
-            "vec": pa.array(out["vec"], pa.binary()),
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_key": pa.array(band_key, pa.int64()),
+            id_col: pa.array(np.tile(ids, num_bands), pa.int64()),
+            "vec": vec,
         }
     )
 

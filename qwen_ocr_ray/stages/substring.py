@@ -95,7 +95,12 @@ def dup_stats_in_bucket(t: pa.Table) -> pa.Table:
     )
     per = pa.table({"doc_id": j["doc_id"], "n_pos": j["n_pos"], "dup_pos": dup})
     g = per.group_by(["doc_id"]).aggregate([("n_pos", "sum"), ("dup_pos", "sum")])
-    return g.rename_columns(["doc_id", "n_pos", "dup_pos"])
+    # select output columns BY NAME: pyarrow's aggregate column ORDER is
+    # version-dependent (keys-first vs keys-last), so a positional
+    # rename_columns would silently swap doc_id with the sums (ADVICE r04)
+    return pa.table(
+        {"doc_id": g["doc_id"], "n_pos": g["n_pos_sum"], "dup_pos": g["dup_pos_sum"]}
+    )
 
 
 def substring_dup_stats(
