@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 10  # v9: semantic_dedup_kept; v10: weighted_sample
+ORACLE_VERSION = 11  # v10: weighted_sample; v11: guarded semantic prune kernel
 
 
 def oracle_tag(sf_dir: str) -> str:

@@ -196,25 +196,17 @@ def kmeans_assign(ds, cq: np.ndarray, id_col: str = "vec_id",
     return ds.map_batches(am, batch_format="pyarrow")
 
 
-SEM_CHUNK = 2048  # pairwise-block cap inside a cluster
+SEM_CHUNK = 2048      # pairwise matmul row-block inside a chunk (memory cap)
+SEM_MAX_GROUP = 4096  # distinct-embedding cap per pairwise chunk (flops cap)
 
 
-def semantic_prune_cluster(vec_ids: np.ndarray, m: np.ndarray,
-                           threshold: float) -> np.ndarray:
-    """Within-cluster SemDeDup prune: drop vec j iff some lower-id vec i in
-    the cluster has cosine(i, j) >= threshold (the repo's greedy
+def _greedy_prune_rows(x: np.ndarray, threshold: float) -> np.ndarray:
+    """Exact greedy drop mask over unit rows ALREADY in ascending-id order:
+    row j is dropped iff some lower row i has round(cos(i, j), 6) >=
+    threshold (witnesses need not survive themselves — matches the repo's
     larger-member-drops rule, `similarity.near_dup_representatives`).
-    Rows are processed in vec_id order in SEM_CHUNK blocks so peak memory is
-    O(chunk x cluster), never cluster^2; at corpus scale K is sized ~n/1000
-    so expected cluster size stays bounded. Scores threshold on the
-    round(6) value so engine ulp differences cannot flip membership; the
-    sidecar mirror calls THIS kernel on identically sorted rows, so results
-    are bit-identical."""
-    order = np.argsort(vec_ids, kind="stable")
-    ids, x = vec_ids[order], m[order]
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(norms == 0, 1.0, norms)
-    g = len(ids)
+    SEM_CHUNK row-blocks keep peak memory O(chunk x n), never n^2."""
+    g = len(x)
     dropped = np.zeros(g, dtype=bool)
     for lo in range(0, g, SEM_CHUNK):
         hi = min(g, lo + SEM_CHUNK)
@@ -223,6 +215,87 @@ def semantic_prune_cluster(vec_ids: np.ndarray, m: np.ndarray,
         # the chunk's own square keep the strict lower triangle (col < row)
         s[:, lo:hi] &= np.tri(hi - lo, hi - lo, -1, dtype=bool)
         dropped[lo:hi] = s.any(axis=1)
+    return dropped
+
+
+def semantic_prune_cluster(
+    vec_ids: np.ndarray, m: np.ndarray, threshold: float,
+    max_group: int = SEM_MAX_GROUP, stats: dict | None = None,
+) -> np.ndarray:
+    """Within-cluster SemDeDup prune with the hot-cluster guard (the
+    band_guard discipline, VERDICT r04 #1 — k-means on a boilerplate-heavy
+    crawl routinely yields a mega-cluster, and the naive prune is O(g^2)
+    flops in one task):
+
+      1. **Star-collapse byte-identical embeddings** (vectorized
+         ``np.unique(axis=0)``): every non-lowest-id member of an identical
+         group drops iff the group's self-cosine clears the threshold —
+         O(g log g), exactly the naive verdict for those rows.
+      2. **Chunk split.** If the DISTINCT embeddings exceed ``max_group``
+         they are split into content-hash (crc32) chunks pruned
+         independently — per-chunk pairwise cost ~max_group^2 — plus one
+         bridge pass over the chunk minima so cross-chunk near-dup mass
+         keeps a deterministic witness path. Chunking approximates the
+         global greedy rule (a cross-chunk witness pair below bridge level
+         is missed); when the cluster fits one chunk the result is
+         IDENTICAL to the unguarded kernel.
+
+    Requires ``0 < threshold <= 1`` (the star-collapse equivalence needs a
+    normalized self-cosine of 1 to clear the threshold and a zero vector's 0
+    to miss it). Deterministic on any input order: rows sort by vec_id,
+    chunk assignment hashes content. Scores threshold on the round(6) value
+    so engine ulp differences cannot flip membership; the sidecar mirror
+    calls THIS kernel on identically sorted rows, so results are
+    bit-identical."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    order = np.argsort(vec_ids, kind="stable")
+    ids, x = vec_ids[order], m[order]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    n = len(ids)
+    dropped = np.zeros(n, dtype=bool)
+    uniq, first_idx, inv = np.unique(
+        x, axis=0, return_index=True, return_inverse=True
+    )
+    if len(uniq) < n:
+        # x is id-ascending, so each group's first occurrence IS its min id
+        self_hit = np.round((uniq * uniq).sum(axis=1), 6) >= threshold
+        is_rep = np.zeros(n, dtype=bool)
+        is_rep[first_idx] = True
+        dup_rows = ~is_rep
+        dropped[dup_rows] = self_hit[inv.reshape(-1)[dup_rows]]
+    rep_rows = np.sort(first_idx)  # distinct embeddings, id-ascending
+    n_reps = len(rep_rows)
+    n_chunks = -(-n_reps // max_group) if n_reps else 0
+    if stats is not None:
+        stats["n_rows"] = n
+        stats["n_reps"] = n_reps
+        stats["n_chunks"] = n_chunks
+        stats["max_chunk_rows"] = 0
+    if n_chunks <= 1:
+        dropped[rep_rows] |= _greedy_prune_rows(x[rep_rows], threshold)
+        if stats is not None:
+            stats["max_chunk_rows"] = n_reps
+    else:
+        import zlib
+
+        ch = np.fromiter(
+            (zlib.crc32(x[r].tobytes()) % n_chunks for r in rep_rows),
+            dtype=np.int64, count=n_reps,
+        )
+        bridge_rows: list[int] = []
+        for c in range(n_chunks):
+            sel = rep_rows[ch == c]
+            if len(sel) == 0:
+                continue
+            dropped[sel] |= _greedy_prune_rows(x[sel], threshold)
+            bridge_rows.append(int(sel[0]))
+            if stats is not None:
+                stats["max_chunk_rows"] = max(stats["max_chunk_rows"], len(sel))
+        if len(bridge_rows) > 1:
+            br = np.sort(np.asarray(bridge_rows, dtype=np.int64))
+            dropped[br] |= _greedy_prune_rows(x[br], threshold)
     return ids[~dropped]
 
 
@@ -240,13 +313,16 @@ def kmeans_fit_mirror(vec_ids: np.ndarray, m: np.ndarray, k: int,
 
 
 def semantic_dedup(ds, k: int, iters: int, threshold: float,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_group: int = SEM_MAX_GROUP):
     """SemDeDup (Abbas et al. '23) as a Ray Data composition: k-means
     clusters the corpus (quantized Lloyd above), then each cluster prunes
     its internal near-duplicates independently — the clustering turns the
     corpus-wide O(n^2) cosine problem into K independent bounded ones, and
     the cluster-keyed exchange moves (id, embedding) rows exactly once.
-    Returns kept ids ``{vec_id}``."""
+    A skewed mega-cluster is bounded by the prune kernel's hot-cluster
+    guard (star-collapse + ``max_group`` chunk split, see
+    ``semantic_prune_cluster``). Returns kept ids ``{vec_id}``."""
     import ray as _ray
 
     cq = kmeans_fit(ds, k, iters, id_col=id_col, vec_col=vec_col)
@@ -262,7 +338,9 @@ def semantic_dedup(ds, k: int, iters: int, threshold: float,
 
     def prune(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        kept = semantic_prune_cluster(ids, _matrix(t, vec_col), threshold)
+        kept = semantic_prune_cluster(
+            ids, _matrix(t, vec_col), threshold, max_group=max_group
+        )
         return pa.table({id_col: pa.array(np.sort(kept), pa.int64())})
 
     return (

@@ -112,6 +112,106 @@ class TestSemanticPrune:
         assert len(whole) < 300  # the planted dups actually dropped
 
 
+class TestHotClusterGuard:
+    """VERDICT r04 #1: one skewed k-means cell must not pin a task at
+    O(g^2) flops with the whole cluster resident."""
+
+    @staticmethod
+    def _naive(ids, m, th):
+        order = np.argsort(ids, kind="stable")
+        ids, x = ids[order], m[order]
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms == 0, 1.0, norms)
+        s = np.round(x @ x.T, 6) >= th
+        s &= np.tri(len(x), len(x), -1, dtype=bool)  # i < j witnesses only
+        return ids[~s.any(axis=1)]
+
+    def test_guard_equals_naive_when_unchunked(self):
+        from qwen_ocr_ray.stages.kmeans import semantic_prune_cluster
+
+        rng = np.random.RandomState(11)
+        m = rng.normal(size=(300, 8))
+        m[50] = m[10]  # byte-identical pair -> star path
+        m[51] = m[10]
+        m[200] = m[20] * 3.0  # same direction, different bytes
+        m[250] = np.zeros(8)  # zero vectors: never dropped, never witnesses
+        m[251] = np.zeros(8)
+        ids = np.arange(300, dtype=np.int64)
+        got = semantic_prune_cluster(ids, m, 0.9)
+        exp = self._naive(ids, m, 0.9)
+        assert (got == exp).all()
+        assert 50 not in got and 51 not in got and 200 not in got
+        assert 250 in got and 251 in got
+
+    def test_mega_cluster_bounded_star_and_chunks(self):
+        from qwen_ocr_ray.stages.kmeans import semantic_prune_cluster
+
+        rng = np.random.RandomState(12)
+        base = rng.normal(size=8)
+        # 6000 byte-identical copies (boilerplate) + 2000 distinct rows
+        m = np.concatenate(
+            [np.tile(base, (6000, 1)), rng.normal(size=(2000, 8))]
+        )
+        ids = np.arange(8000, dtype=np.int64)
+        stats: dict = {}
+        kept = semantic_prune_cluster(ids, m, 0.99, max_group=256, stats=stats)
+        # star-collapse: exactly one of the 6000 identical rows survives
+        assert 0 in kept and not any(1 <= k < 6000 for k in kept)
+        # the pairwise work was chunk-bounded, not O(n_reps^2)
+        assert stats["n_reps"] == 2001
+        assert stats["n_chunks"] == -(-2001 // 256)
+        assert stats["max_chunk_rows"] <= 3 * 256  # crc32 balance slack
+
+    def test_chunked_prune_deterministic_under_permutation(self):
+        from qwen_ocr_ray.stages.kmeans import semantic_prune_cluster
+
+        rng = np.random.RandomState(13)
+        m = rng.normal(size=(1000, 8))
+        for a, b in [(3, 700), (400, 900), (100, 101)]:
+            m[b] = m[a] + rng.normal(scale=0.01, size=8)
+        ids = np.arange(1000, dtype=np.int64)
+        a1 = semantic_prune_cluster(ids, m, 0.9, max_group=64)
+        p = rng.permutation(1000)
+        a2 = semantic_prune_cluster(ids[p], m[p], 0.9, max_group=64)
+        assert (a1 == a2).all()
+        assert len(a1) < 1000  # the planted dups actually dropped
+
+    def test_semantic_dedup_e2e_with_binding_guard(self, ray_session):
+        """Distributed semantic_dedup with max_group binding equals the
+        single-process kernel composition (fit + assign + guarded prune)."""
+        import ray.data
+
+        import pyarrow as pa
+        from qwen_ocr_ray.stages.kmeans import (
+            assign_clusters, kmeans_fit_mirror, quantize,
+            semantic_dedup, semantic_prune_cluster,
+        )
+
+        rng = np.random.RandomState(14)
+        m = rng.normal(size=(600, 8)) * 0.2
+        m[100:400] = np.tile(m[100], (300, 1))  # one boilerplate blob
+        ids = np.arange(600, dtype=np.int64)
+        t = pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(list(m), pa.list_(pa.float64()))}
+        )
+        got = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                ray.data.from_arrow(t).repartition(5), 3, 3, 0.95, max_group=32
+            ).take_all()
+        )
+        cq = kmeans_fit_mirror(ids, m, 3, 3)
+        a = assign_clusters(quantize(m), cq)
+        exp: list[int] = []
+        for c in np.unique(a):
+            sel = a == c
+            exp.extend(
+                semantic_prune_cluster(ids[sel], m[sel], 0.95, max_group=32)
+            )
+        assert got == sorted(exp)
+
+
 class TestBlockSplitInvariance:
     def test_fit_identical_across_block_layouts(self, ray_session):
         """The quantized fold is order/split-free: fitting over 2 blocks and
