@@ -10,6 +10,11 @@ operator this engine already ships, chained as one lazy Dataset graph:
       -> NEAR-dup dedup   (MinHash-LSH pairs on extracted text, keyed on url;
                            greedy one-representative-per-cluster filter via a
                            distributed anti-join)
+      -> SEMANTIC dedup   (optional: embed-join survivors to their embedding
+                           rows, k-means + within-cluster SemDeDup prune,
+                           broadcast anti-join of the dropped ids — the
+                           exact -> fuzzy -> semantic order real curation
+                           stacks use)
       -> training rows {url, lang, text, n_tokens, quality}
 
 Demonstrates that a user of the reference tool could run their whole
@@ -36,6 +41,12 @@ def run_training_prep(
     min_quality: float = 0.2,
     near_dedup: bool = True,
     near_threshold: float = 0.5,
+    semantic: bool = False,
+    embeddings_path: str | None = None,
+    sem_k: int = 10,
+    sem_iters: int = 5,
+    sem_threshold: float = 0.4,
+    sem_num_buckets: int = 16,
 ):
     extracted = run_extraction(
         pages_path, cfg, routed_dir=routed_dir, approx_rows=approx_rows
@@ -90,6 +101,72 @@ def run_training_prep(
     pairs = minhash_lsh_pairs(
         deduped, threshold=near_threshold, id_col="url", text_col="text"
     )
-    return near_dup_representatives(
-        deduped, pairs, id_col="url", strategy="join"
+    reps = near_dup_representatives(deduped, pairs, id_col="url", strategy="join")
+    if not semantic:
+        return reps
+    return _semantic_stage(
+        reps, embeddings_path,
+        k=sem_k, iters=sem_iters, threshold=sem_threshold,
+        num_buckets=sem_num_buckets,
     )
+
+
+def url_doc_id(url: str) -> int:
+    """doc_id from the corpus's url scheme (…/articles/<doc_id>); a general
+    deployment would carry doc_id as a column or join a mapping table."""
+    return int(url.rsplit("/", 1)[1])
+
+
+def _semantic_stage(reps, embeddings_path: str, *, k: int, iters: int,
+                    threshold: float, num_buckets: int):
+    """SemDeDup over the near-dup SURVIVORS (VERDICT r04 #5): embed-join the
+    survivor ids to their embedding rows (bucketed hash join — both sides
+    large, vectors ride exactly one exchange), k-means + guarded
+    within-cluster prune, then a broadcast anti-join of the DROPPED ids
+    (bounded by semantic-dup mass, the contested-winners discipline)."""
+    import ray as _ray
+
+    from qwen_ocr_ray.pipelines.extract import sized_read_parquet
+    from qwen_ocr_ray.stages.join import bucketed_hash_join
+    from qwen_ocr_ray.stages.kmeans import semantic_dropped_ids
+
+    if embeddings_path is None:
+        raise ValueError("semantic=True requires embeddings_path")
+
+    reps = reps.materialize()  # two consumers: the embed-join and the filter
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = [url_doc_id(u) for u in t["url"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    emb = sized_read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.select(["vec_id", "embedding"]).rename_columns(
+            ["doc_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        reps.map_batches(keyed, batch_format="pyarrow"),
+        emb,
+        "doc_id",
+        pa.schema([("doc_id", pa.int64())]),
+        pa.schema([("doc_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32()))]),
+        num_buckets=num_buckets,
+    )
+    dropped = set(
+        r["doc_id"]
+        for r in semantic_dropped_ids(
+            joined, k, iters, threshold, id_col="doc_id"
+        ).take_all()
+    )
+    ref = _ray.put(dropped)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _ray.get(ref)
+        mask = [url_doc_id(u) not in d for u in t["url"].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return reps.map_batches(keep, batch_format="pyarrow")

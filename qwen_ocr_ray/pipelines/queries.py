@@ -1092,6 +1092,30 @@ def q_training_prep(sf_dir: str):
 QUERIES["training_prep"] = q_training_prep
 
 
+def q_training_prep_semantic(sf_dir: str):
+    """The full curation stack in the order real pipelines use: extraction
+    -> quality/lang filter -> EXACT dedup -> FUZZY (MinHash) dedup ->
+    SEMANTIC (SemDeDup) dedup. The semantic stage embed-joins the survivors
+    to the embeddings table (bucketed hash join), k-means + guarded
+    within-cluster prune, and anti-joins the dropped ids (VERDICT r04 #5)."""
+    from qwen_ocr_ray.pipelines.prep import run_training_prep
+    from qwen_ocr_ray.sources.synth_pages import ensure_pages_dataset
+
+    pages_path, _ = ensure_pages_dataset(sf_dir)
+    n = pq.read_metadata(pages_path).num_rows
+    out = run_training_prep(
+        pages_path, approx_rows=n, languages=("en",),
+        semantic=True,
+        embeddings_path=os.path.join(sf_dir, "embeddings.parquet"),
+        sem_k=KMEANS_K, sem_iters=KMEANS_ITERS,
+        sem_threshold=SEMDEDUP_THRESHOLD,
+    )
+    return out.select_columns(["url", "lang", "pred_lang", "n_tokens", "quality"])
+
+
+QUERIES["training_prep_semantic"] = q_training_prep_semantic
+
+
 # --- driver-visible oracles over the synthetic caches --------------------------
 #
 # The driver's DuckDB session pre-registers only the testdata tables, but
@@ -2155,6 +2179,11 @@ SELECT url, lang, pred_lang, n_tokens, quality
 FROM read_parquet('{_ORACLE01}/training_prep.parquet')
 """
 
+SQL_TRAINING_PREP_SEMANTIC = f"""
+SELECT url, lang, pred_lang, n_tokens, quality
+FROM read_parquet('{_ORACLE01}/training_prep_semantic.parquet')
+"""
+
 SQL_ANN_IVF_TOPK = f"""
 SELECT vec_id, score FROM read_parquet('{_ORACLE01}/ann_ivf_topk.parquet')
 """
@@ -2177,6 +2206,7 @@ ORACLE.update(
         "quality_scores": SQL_QUALITY_SCORES,
         "extract_figures": SQL_EXTRACT_FIGURES,
         "training_prep": SQL_TRAINING_PREP,
+        "training_prep_semantic": SQL_TRAINING_PREP_SEMANTIC,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "domain_partitions": SQL_DOMAIN_PARTITIONS,
     }
@@ -2512,6 +2542,54 @@ GROUP BY doc_id
 """
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact-substring REMOVAL (completes Lee et al. '22): keep the
+    corpus-wide FIRST occurrence of every duplicated word-8-gram (minimal
+    (doc_id, position)) and cut the words covered by every later
+    occurrence. Returns (doc_id, n_words, n_removed, text_dedup) over the
+    normalized token stream. The dup evidence is sized by duplicated mass,
+    broadcast once; `strategy="join"` (tested) keeps it distributed."""
+    from qwen_ocr_ray.stages.substring import substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dedup(
+        ds, width=SUBSTRING_WIDTH,
+        num_buckets=_auto_buckets(sf_dir, "documents", rows_per_bucket=25_000),
+    )
+
+
+# POS_LIM mirrors stages/substring.py: packed first-occurrence key
+SQL_SUBSTRING_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+), words AS (
+  SELECT doc_id, i, ws[i] AS word
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), sh AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+{SUBSTRING_WIDTH - 1}], ' ') AS g
+  FROM w, UNNEST(range(1, len(ws) - {SUBSTRING_WIDTH - 2})) AS t(i)
+  WHERE len(ws) >= {SUBSTRING_WIDTH}
+), firsts AS (
+  SELECT g, MIN(doc_id * {1 << 20} + (i - 1)) AS fk FROM sh GROUP BY g
+), dups AS (
+  SELECT s.doc_id, s.i FROM sh s JOIN firsts f ON s.g = f.g
+  WHERE s.doc_id * {1 << 20} + (s.i - 1) > f.fk
+), cov AS (
+  SELECT DISTINCT wd.doc_id, wd.i
+  FROM words wd JOIN dups d
+    ON wd.doc_id = d.doc_id AND wd.i BETWEEN d.i AND d.i + {SUBSTRING_WIDTH - 1}
+)
+SELECT wd.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(cov.i) AS BIGINT) AS n_removed,
+       COALESCE(
+         string_agg(CASE WHEN cov.i IS NULL THEN wd.word END, ' ' ORDER BY wd.i),
+         '') AS text_dedup
+FROM words wd LEFT JOIN cov ON wd.doc_id = cov.doc_id AND wd.i = cov.i
+GROUP BY wd.doc_id
+"""
+
+
 HH_PHI = 1.0 / 150.0  # heavy-hitter frequency threshold
 
 
@@ -2737,6 +2815,7 @@ SELECT vec_id, score FROM read_parquet('{_ORACLE01}/ann_ivfpq_topk.parquet')
 QUERIES.update(
     {
         "substring_dup_stats": q_substring_dup_stats,
+        "substring_dedup": q_substring_dedup,
         "heavy_hitters": q_heavy_hitters,
         "stratified_sample": q_stratified_sample,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2748,6 +2827,7 @@ ORACLE.update(
     {
         "approx_distinct_by_type": SQL_APPROX_DISTINCT_BY_TYPE,
         "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
+        "substring_dedup": SQL_SUBSTRING_DEDUP,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,

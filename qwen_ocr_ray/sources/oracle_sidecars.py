@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 11  # v10: weighted_sample; v11: guarded semantic prune kernel
+ORACLE_VERSION = 12  # v11: guarded semantic prune; v12: training_prep_semantic
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -244,6 +244,43 @@ def expected_training_prep(
             "quality": pa.array([np.float32(r[5]) for r in final], pa.float32()),
         }
     )
+
+
+def expected_training_prep_semantic(
+    pages_path: str, golden_path: str, sf_dir: str,
+) -> pa.Table:
+    """Mirror of run_training_prep(semantic=True): the plain prep mirror,
+    then SemDeDup over the SURVIVORS' embedding rows — same quantized fit /
+    assignment / guarded prune kernels as the distributed path, so the
+    dropped set is bit-identical."""
+    from qwen_ocr_ray.pipelines.prep import url_doc_id
+    from qwen_ocr_ray.pipelines.queries import (
+        KMEANS_ITERS, KMEANS_K, SEMDEDUP_THRESHOLD,
+    )
+    from qwen_ocr_ray.stages.kmeans import (
+        assign_clusters, kmeans_fit_mirror, quantize, semantic_prune_cluster,
+    )
+
+    base = expected_training_prep(pages_path, golden_path)
+    surv = {url_doc_id(u) for u in base["url"].to_pylist()}
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    sel = np.array([v in surv for v in emb["vec_id"].to_pylist()])
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)[sel]
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[sel]
+    cq = kmeans_fit_mirror(ids, m, KMEANS_K, KMEANS_ITERS)
+    a = assign_clusters(quantize(m), cq)
+    kept: set[int] = set()
+    for c in np.unique(a):
+        s = a == c
+        kept.update(
+            semantic_prune_cluster(ids[s], m[s], SEMDEDUP_THRESHOLD).tolist()
+        )
+    mask = pa.array(
+        [url_doc_id(u) in kept for u in base["url"].to_pylist()], pa.bool_()
+    )
+    return base.filter(mask)
 
 
 def expected_ann_ivf_topk(sf_dir: str, *, k: int = 6, nprobe: int = 3) -> pa.Table:
@@ -565,6 +602,9 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "lang_quality.parquet": expected_lang_quality(docs),
         "figures.parquet": expected_figures(pages_path),
         "training_prep.parquet": expected_training_prep(pages_path, golden_path),
+        "training_prep_semantic.parquet": expected_training_prep_semantic(
+            pages_path, golden_path, sf_dir
+        ),
         "ann_ivf_topk.parquet": expected_ann_ivf_topk(sf_dir),
         "ann_ivfpq_topk.parquet": expected_ann_ivfpq(sf_dir),
         "bloom_kept.parquet": expected_bloom_kept(docs),

@@ -74,12 +74,15 @@ def bucketed_hash_join(
     *,
     approx_rows: int | None = None,
     num_buckets: int | None = None,
+    how: str = "inner",
 ):
-    """Inner join of two large Datasets on ``key``.
+    """Inner (or left) join of two large Datasets on ``key``.
 
     Schemas must be passed explicitly (``ds.schema()`` would trigger
     execution). Output columns: left columns, then right columns minus the
-    key. Keys are assumed un-skewed or pre-salted by the caller.
+    key. Keys are assumed un-skewed or pre-salted by the caller. ``how``
+    may be "inner" or "left" — every left row lands in exactly one bucket,
+    so a per-bucket left join composes to the global left join.
     """
     b = num_buckets or pick_num_buckets(approx_rows)
     lnames = [f.name for f in left_schema]
@@ -109,9 +112,9 @@ def bucketed_hash_join(
 
         lt = t.filter(pc.equal(sides, 0)).select(lnames)
         rt = t.filter(pc.equal(sides, 1)).select([key, *rnames])
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
             return pa.table({n: [] for n in out_schema.names}, schema=out_schema)
-        joined = pl.from_arrow(lt).join(pl.from_arrow(rt), on=key, how="inner")
+        joined = pl.from_arrow(lt).join(pl.from_arrow(rt), on=key, how=how)
         return joined.select(out_schema.names).to_arrow().cast(out_schema)
 
     return (

@@ -325,6 +325,26 @@ def semantic_dedup(ds, k: int, iters: int, threshold: float,
     ``semantic_prune_cluster``). Returns kept ids ``{vec_id}``."""
     import ray as _ray
 
+    return _semantic_prune_pipeline(
+        ds, k, iters, threshold, id_col, vec_col, max_group, emit="kept"
+    )
+
+
+def semantic_dropped_ids(ds, k: int, iters: int, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         max_group: int = SEM_MAX_GROUP):
+    """Complement of ``semantic_dedup``: emits the DROPPED ids — sized by
+    the corpus's near-dup mass, not the corpus — for broadcast anti-join
+    composition (the contested-winners discipline)."""
+    return _semantic_prune_pipeline(
+        ds, k, iters, threshold, id_col, vec_col, max_group, emit="dropped"
+    )
+
+
+def _semantic_prune_pipeline(ds, k, iters, threshold, id_col, vec_col,
+                             max_group, emit):
+    import ray as _ray
+
     cq = kmeans_fit(ds, k, iters, id_col=id_col, vec_col=vec_col)
     ref = _ray.put(cq.tobytes())
     dim = cq.shape[1]
@@ -341,7 +361,8 @@ def semantic_dedup(ds, k: int, iters: int, threshold: float,
         kept = semantic_prune_cluster(
             ids, _matrix(t, vec_col), threshold, max_group=max_group
         )
-        return pa.table({id_col: pa.array(np.sort(kept), pa.int64())})
+        out = kept if emit == "kept" else np.setdiff1d(ids, kept)
+        return pa.table({id_col: pa.array(np.sort(out), pa.int64())})
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")

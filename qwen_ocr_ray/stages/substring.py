@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from qwen_ocr_ray.functions.text_hash import shingle_position_hashes
+from qwen_ocr_ray.functions.text_hash import _TOKEN_RE, shingle_position_hashes
 from qwen_ocr_ray.stages.agg import grouped_sums
 from qwen_ocr_ray.stages.bucketing import add_bucket_column
 
@@ -134,3 +134,210 @@ def substring_dup_stats(
         return t.append_column("dup_frac", frac)
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+# --- exact-substring REMOVAL (the companion operator: Lee et al. '22 cut) -------
+
+POS_LIM = 1 << 20  # positions-per-doc cap for the packed (doc_id, pos) int64
+# key doc_id * POS_LIM + pos; valid while doc_id < 2^43 and docs < 1M tokens
+
+
+def shingle_occurrence_batch(
+    t: pa.Table, *, width: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """One row per shingle OCCURRENCE: (sh, dockey) with dockey packing
+    (doc_id, position) so the corpus-wide FIRST occurrence of a gram is just
+    ``min(dockey)`` — computable inside the gram's hash bucket."""
+    sh_out: list[np.ndarray] = []
+    key_out: list[np.ndarray] = []
+    for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        sh = shingle_position_hashes(text, width)
+        if len(sh) == 0:
+            continue
+        sh_out.append(sh.view(np.int64))
+        key_out.append(doc_id * POS_LIM + np.arange(len(sh), dtype=np.int64))
+    if not sh_out:
+        return pa.table(
+            {"sh": pa.array([], pa.int64()), "dockey": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "sh": pa.array(np.concatenate(sh_out), pa.int64()),
+            "dockey": pa.array(np.concatenate(key_out), pa.int64()),
+        }
+    )
+
+
+def dup_occurrences_in_bucket(t: pa.Table) -> pa.Table:
+    """One shingle-hash bucket -> (doc_id, pos) of every NON-FIRST occurrence
+    (first = min packed key corpus-wide; all occurrences of a hash land in
+    this bucket, so the min is global)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int32())}
+        )
+    if "bucket" in t.column_names:
+        t = t.drop_columns(["bucket"])
+    firsts = t.group_by(["sh"]).aggregate([("dockey", "min")])
+    j = t.join(firsts, keys="sh")
+    d = j.filter(pc.greater(j["dockey"], j["dockey_min"]))
+    keys = d["dockey"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(keys // POS_LIM, pa.int64()),
+            "pos": pa.array((keys % POS_LIM).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def _starts_lists_in_bucket(t: pa.Table) -> pa.Table:
+    """(doc_id, pos) dup rows -> one (doc_id, starts: list<int32>) row per
+    doc. Cells are small int lists — safe through map_groups."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "starts": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+    if "bucket" in t.column_names:
+        t = t.drop_columns(["bucket"])
+    g = t.group_by(["doc_id"]).aggregate([("pos", "list")])
+    return pa.table({"doc_id": g["doc_id"], "starts": g["pos_list"]})
+
+
+def _cut_batch(
+    t: pa.Table, starts_of, *, width: int, id_col: str, text_col: str
+) -> pa.Table:
+    """Remove every word covered by a duplicated-gram start in ``starts_of``
+    (a callable (doc_id, row_index) -> int array or None). Operates on the
+    normalized token stream ([a-z0-9]+ of the lowercased text) — the same
+    tokenization the dup verdict used, which the SQL oracle replays
+    byte-exactly."""
+    ids, n_words, n_removed, texts = [], [], [], []
+    for i, (doc_id, text) in enumerate(
+        zip(t[id_col].to_pylist(), t[text_col].to_pylist())
+    ):
+        words = _TOKEN_RE.findall(text.lower())
+        n = len(words)
+        if n == 0:
+            continue  # no token rows on the SQL side either
+        starts = starts_of(doc_id, i)
+        if starts is None or len(starts) == 0:
+            kept, removed = " ".join(words), 0
+        else:
+            delta = np.zeros(n + 1, dtype=np.int32)
+            s = np.asarray(starts, dtype=np.int64)
+            np.add.at(delta, s, 1)
+            np.add.at(delta, np.minimum(s + width, n), -1)
+            covered = np.cumsum(delta[:n]) > 0
+            removed = int(covered.sum())
+            kept = " ".join(w for w, c in zip(words, covered) if not c)
+        ids.append(doc_id)
+        n_words.append(n)
+        n_removed.append(removed)
+        texts.append(kept)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "text_dedup": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def substring_dedup(
+    ds, *, width: int = 8, num_buckets: int = 16,
+    id_col: str = "doc_id", text_col: str = "text",
+    strategy: str = "broadcast", approx_rows: int | None = None,
+):
+    """Exact-substring REMOVAL (Lee et al. '22 completed — the companion to
+    ``substring_dup_stats``): keep the corpus-wide FIRST occurrence of every
+    duplicated ``width``-gram and cut the words covered by every later
+    occurrence. Returns (doc_id, n_words, n_removed, text_dedup).
+
+    Shape: the shingle-occurrence stream (16-byte rows) exchanges once by
+    gram hash to find non-first occurrences; the surviving (doc, start)
+    evidence — sized by the corpus's DUPLICATED mass, not the corpus —
+    folds to per-doc start lists. ``strategy="broadcast"`` ships that
+    evidence once via ray.put and streams documents through a pure map (the
+    contested-winners discipline of the flagship's URL dedup);
+    ``strategy="join"`` keeps it fully distributed with a bucketed LEFT
+    hash join (text payload rides exactly one exchange).
+    """
+    import ray as _ray
+
+    occ = ds.map_batches(
+        lambda t: shingle_occurrence_batch(
+            t, width=width, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+    )
+    dups = (
+        occ.map_batches(
+            lambda t: add_bucket_column(t, "sh", num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(dup_occurrences_in_bucket, batch_format="pyarrow")
+    )
+    starts = (
+        dups.map_batches(
+            lambda t: add_bucket_column(t, "doc_id", num_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_starts_lists_in_bucket, batch_format="pyarrow")
+    )
+
+    if strategy == "join":
+        from qwen_ocr_ray.stages.join import bucketed_hash_join
+
+        joined = bucketed_hash_join(
+            ds.map_batches(
+                lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+            ),
+            starts,
+            id_col,
+            pa.schema([(id_col, pa.int64()), (text_col, pa.string())]),
+            pa.schema(
+                [("doc_id", pa.int64()), ("starts", pa.list_(pa.int32()))]
+            ),
+            how="left",
+            approx_rows=approx_rows,
+            num_buckets=num_buckets,
+        )
+
+        def cut_joined(t: pa.Table) -> pa.Table:
+            return _cut_rowwise(
+                t, t["starts"].to_pylist(),
+                width=width, id_col=id_col, text_col=text_col,
+            )
+
+        return joined.map_batches(cut_joined, batch_format="pyarrow")
+
+    # broadcast: collect the bounded (doc_id -> starts) evidence once
+    evidence: dict[int, np.ndarray] = {}
+    for b in starts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for did, st in zip(b["doc_id"].to_pylist(), b["starts"].to_pylist()):
+            evidence[did] = np.asarray(st, dtype=np.int64)
+    ref = _ray.put(evidence)
+
+    def cut(t: pa.Table) -> pa.Table:
+        ev = _ray.get(ref)
+        return _cut_batch(
+            t, lambda did, _i: ev.get(did),
+            width=width, id_col=id_col, text_col=text_col,
+        )
+
+    return ds.map_batches(cut, batch_format="pyarrow")
+
+
+def _cut_rowwise(t: pa.Table, starts_list, *, width: int, id_col: str,
+                 text_col: str) -> pa.Table:
+    """_cut_batch over a joined batch whose i-th row carries its own starts
+    (list or None from the left join)."""
+    return _cut_batch(
+        t, lambda _did, i: starts_list[i],
+        width=width, id_col=id_col, text_col=text_col,
+    )

@@ -779,6 +779,77 @@ class TestSubstringDupStats:
         assert 20 not in got  # short doc emits nothing
 
 
+class TestSubstringDedup:
+    """Exact-substring REMOVAL (VERDICT r04 #4): keep the corpus-wide first
+    occurrence, cut later >=width-gram runs — planted-span e2e."""
+
+    def _fixture(self):
+        rng = np.random.RandomState(17)
+        vocab = [f"w{i}" for i in range(300)]
+        span = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        docs = []
+        for i in range(20):
+            words = [vocab[v] for v in rng.randint(0, 300, size=40)]
+            if i in (3, 11):  # same 10-word span in two docs
+                words[10:10] = span
+            docs.append((i, " ".join(words)))
+        rep = [vocab[v] for v in rng.randint(0, 300, size=8)]
+        docs.append((21, " ".join(rep + ["filler0"] + rep)))  # within-doc repeat
+        return docs, span, rep
+
+    def test_planted_span_removed_from_later_doc_only(self, ray_session):
+        from qwen_ocr_ray.stages.substring import substring_dedup
+
+        docs, span, rep = self._fixture()
+        by_id = dict(docs)
+        t = pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([s for _, s in docs], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = {
+            r["doc_id"]: r for r in substring_dedup(ds, num_buckets=4).take_all()
+        }
+        # first occurrence (doc 3) untouched
+        assert got[3]["n_removed"] == 0
+        assert got[3]["text_dedup"].split() == by_id[3].split()
+        # the later doc loses EXACTLY the 10 span words, order preserved
+        assert got[11]["n_removed"] == 10
+        assert got[11]["text_dedup"].split() == [
+            w for w in by_id[11].split() if w not in span
+        ]
+        # within-doc repeat: the SECOND copy of the 8-gram removed
+        assert got[21]["n_removed"] == 8
+        assert got[21]["text_dedup"].split() == rep + ["filler0"]
+        # untouched docs pass through whole
+        assert got[5]["n_removed"] == 0 and got[5]["n_words"] == 40
+
+    def test_join_strategy_matches_broadcast(self, ray_session):
+        from qwen_ocr_ray.stages.substring import substring_dedup
+
+        docs, _, _ = self._fixture()
+        t = pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([s for _, s in docs], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        key = lambda r: (r["doc_id"], r["n_words"], r["n_removed"], r["text_dedup"])  # noqa: E731
+        a = sorted(map(key, substring_dedup(ds, num_buckets=4).take_all()))
+        b = sorted(
+            map(
+                key,
+                substring_dedup(
+                    ds, num_buckets=4, strategy="join", approx_rows=21
+                ).take_all(),
+            )
+        )
+        assert a == b and len(a) == 21
+
+
 class TestBloomIncrementalDedup:
     def test_planted_cross_batch_duplicate_dropped(self, ray_session, tmp_path):
         import pyarrow.parquet as pq

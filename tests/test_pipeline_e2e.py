@@ -207,6 +207,68 @@ def test_training_prep_near_dup_stage(ray_session, tmp_path):
     assert f"/articles/{ids[2]}" in "".join(kept.url)
     assert any(f"/articles/{i}" in d for d in dropped for i in ids[:2])
 
+def test_training_prep_semantic_stage(ray_session, tmp_path):
+    """Planted SEMANTIC-duplicate e2e (VERDICT r04 #5): two docs with
+    distinct texts (exact + MinHash keep both) but identical embeddings
+    collapse to one training row when semantic=True; the lower doc_id
+    survives (greedy larger-member-drops rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from qwen_ocr_ray.pipelines.prep import run_training_prep
+    from qwen_ocr_ray.sources.synth_pages import SEED, _mix, generate_pages_table
+
+    html_ids = [i for i in range(200) if _mix(SEED, i) % 100 < 86]
+    ids = html_ids[:4]
+    texts = [
+        " ".join(f"corpus{j} sample word{(w * (7 + j)) % 61} item" for w in range(100))
+        for j in range(4)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        }
+    )
+    pages, _ = generate_pages_table(docs)
+    p = str(tmp_path / "pages.parquet")
+    pq_.write_table(pages, p)
+
+    # embeddings: ids[0] and ids[1] identical, others orthogonal
+    dim = 8
+    vecs = np.zeros((4, dim))
+    vecs[0, 0] = vecs[1, 0] = 1.0
+    vecs[2, 3] = 1.0
+    vecs[3, 6] = 1.0
+    ep = str(tmp_path / "embeddings.parquet")
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        ep,
+    )
+
+    kw = dict(approx_rows=4, languages=("en",), min_tokens=5, min_quality=0.0)
+    plain = run_training_prep(
+        p, routed_dir=str(tmp_path / "r1"), **kw
+    ).to_pandas()
+    assert len(plain) == 4  # distinct texts: nothing dropped before semantic
+    sem = run_training_prep(
+        p, routed_dir=str(tmp_path / "r2"), semantic=True, embeddings_path=ep,
+        sem_k=2, sem_iters=2, sem_threshold=0.95, **kw
+    ).to_pandas()
+    assert len(sem) == 3
+    dropped = set(plain.url) - set(sem.url)
+    assert dropped == {u for u in plain.url if u.endswith(f"/articles/{ids[1]}")}
+
+
 def test_high_dup_exchange_end_to_end(ray_session, tmp_path_factory):
     """The 100 TB broadcast-dedup fallback, stressed: a fixture with ~35%
     CONTESTED urls (far past the 'dup fraction is broadcastable' assumption)
