@@ -3231,27 +3231,25 @@ ORACLE.update(
 # window; long-stable queries (green in r01-r03, kernels untouched) take the
 # tail. VERDICT r03 next-steps #3.
 _CERT_PRIORITY = [
-    # new this round (r04) — never driver-certified
-    "substring_dup_stats", "heavy_hitters", "stratified_sample",
-    "bloom_incremental_dedup", "ann_ivfpq_topk", "approx_distinct_by_type",
-    "cms_point_counts", "quantiles_by_type", "unigram_logprob",
-    "kmeans_clusters", "value_zscores", "semantic_dedup", "shuffle_shards",
-    "weighted_sample",
-    # never driver-certified (registered late in r03)
-    "length_percentiles", "pack_chunks", "repetition_scores",
-    "token_doc_freq", "train_val_split",
-    # last certified in r02
-    "events_hopping_window", "media_image_resize",
-    # kernels changed this round: hot-band guard (band_guard.py), IVF
-    # index (build_ivf_index/ivf_topk_indexed), zero-copy _matrix,
-    # range-join streaming collect, sketch null semantics
-    "minhash_pairs", "ngram_jaccard_pairs", "simhash_near_pairs",
-    "embedding_near_dup_lsh", "embedding_dedup_filter", "near_dup_clusters",
-    "ann_topk", "ann_ivf_topk", "ann_ivf_full", "embedding_pairs",
-    "approx_distinct_users", "approx_value_quantiles", "event_followups",
-    "training_prep",
-    # schema changed this round: approx_bpe_tokens column rename
-    "bpe_token_counts", "doc_quality",
+    # new this round (r05) — never driver-certified
+    "substring_dedup", "training_prep_semantic",
+    # certified in r03 but rotated out of r04's 50-query sample — back at
+    # the head so every query re-certifies on a HEAD build at least every
+    # other round (VERDICT r04 next-steps #3)
+    "dedup_exact_docs", "simhash_docs", "lang_id", "quality_scores",
+    "extract_figures", "media_image_features", "media_audio_features",
+    "media_video_frames", "domain_partitions", "events_sessions",
+    "top_orders_per_customer", "extract_text", "domain_histogram",
+    "events_asof_order", "decontaminate", "pii_scrub", "corpus_rebalance",
+    "tfidf_top_terms", "chunk_documents", "supplier_nation_revenue",
+    "brand_volume",
+    # kernels changed this round: guarded semantic prune (kmeans.py),
+    # vectorized unigram scoring + heavy-hitter cutoff (queries.py),
+    # vectorized lsh_explode_batch (similarity.py), named aggregate select
+    # (substring.py), left-join-capable bucketed_hash_join (join.py)
+    "semantic_dedup", "kmeans_clusters", "unigram_logprob", "heavy_hitters",
+    "substring_dup_stats", "embedding_near_dup_lsh", "embedding_dedup_filter",
+    "near_dup_clusters", "training_prep", "order_lineitem_join",
 ]
 
 

@@ -495,6 +495,72 @@ class TestIvfIndexed:
         assert os.path.getmtime(os.path.join(idx2, "_SUCCESS")) == mtime
 
 
+    def test_incremental_append_equals_fresh_full_build(self, ray_session, tmp_path):
+        """VERDICT r04 #8: build index over A, append B — every query must
+        return exactly what a fresh full build over A ∪ B returns (cell
+        membership is a pure function of (row, centroids))."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qwen_ocr_ray.stages.similarity import (
+            _normalize, build_ivf_index, ivf_index_append, ivf_topk_indexed,
+            kmeans_centroids,
+        )
+
+        rng = np.random.RandomState(21)
+        all_vecs = _normalize(rng.standard_normal((300, 16)))
+
+        def tbl(ids, vecs):
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+        pa_path = str(tmp_path / "a.parquet")
+        pb_path = str(tmp_path / "b.parquet")
+        pu_path = str(tmp_path / "u.parquet")
+        pq.write_table(tbl(range(200), all_vecs[:200]), pa_path, row_group_size=64)
+        pq.write_table(tbl(range(200, 300), all_vecs[200:]), pb_path, row_group_size=64)
+        pq.write_table(tbl(range(300), all_vecs), pu_path, row_group_size=64)
+
+        cents = kmeans_centroids(all_vecs[:200], k=6)  # trained once, reused
+        idx = build_ivf_index(pa_path, cents, index_dir=str(tmp_path / "ivf"))
+        ivf_index_append(idx, pb_path, cents)
+        full = build_ivf_index(pu_path, cents, index_dir=str(tmp_path / "ivf_full"))
+
+        for q in (all_vecs[250], all_vecs[10]):
+            got = ivf_topk_indexed(idx, q, k=8, centroids=cents, nprobe=3).to_pandas()
+            exp = ivf_topk_indexed(full, q, k=8, centroids=cents, nprobe=3).to_pandas()
+            assert got.vec_id.tolist() == exp.vec_id.tolist()
+            assert got.score.tolist() == exp.score.tolist()
+        # appended rows are findable and the staging dir is gone
+        assert 250 in set(
+            ivf_topk_indexed(
+                idx, all_vecs[250], k=1, centroids=cents, nprobe=2
+            ).to_pandas().vec_id
+        )
+        assert not [d for d in os.listdir(idx) if d.startswith("_append.")]
+
+    def test_append_requires_published_index(self, ray_session, tmp_path):
+        import numpy as np
+        import pytest
+
+        from qwen_ocr_ray.stages.similarity import ivf_index_append
+
+        with pytest.raises(FileNotFoundError):
+            ivf_index_append(
+                str(tmp_path / "missing"), "x.parquet", np.zeros((2, 4))
+            )
+
+
 class TestTokenCost:
     def test_pricing_formula_and_default_off(self):
         from qwen_ocr_ray.config import EngineConfig, token_cost
