@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "shuffle_shards",
     "weighted_sample",
+    "substring_dedup",
 ]
 
 

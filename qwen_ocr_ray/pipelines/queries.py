@@ -2894,8 +2894,8 @@ def q_unigram_logprob(sf_dir: str):
     of the tiny (token, tf) rows, and every out-of-vocabulary occurrence
     shares one UNK bucket holding the remaining mass — the driver collects
     V rows + two scalars, never the vocabulary. Pass 2 broadcasts the V-row
-    table once and streams documents through an actor pool scoring mean
-    ln(c_w / N). The cap BINDS on the testdata (V=16 < the 31-token
+    table once and streams documents through a vectorized task map scoring
+    mean ln(c_w / N). The cap BINDS on the testdata (V=16 < the 31-token
     vocabulary), so the UNK path is exercised, and the SQL oracle reruns
     the identical rank/cutoff/UNK arithmetic. Summation order differs from
     SQL in the last ulp, so the mean is canonicalized round(4)->float32 on
@@ -2935,56 +2935,56 @@ def q_unigram_logprob(sf_dir: str):
     unk_mass = n_total - float(sum(tf_map.values()))
     ref = _ray.put((tf_map, unk_mass))
 
-    class Score:
-        def __init__(self):
-            # vectorized LM state, built ONCE per actor (VERDICT r04 #2):
-            # sorted vocab array + aligned log-prob array, scored per batch
-            # with ONE searchsorted over the concatenated token stream
-            tf_map, unk = _ray.get(ref)
-            toks = sorted(tf_map)
-            self.vocab = np.array(toks)  # fixed-width unicode: C-level compares
-            self.logp = np.log(
-                np.array([tf_map[w] for w in toks], dtype=np.float64) / n_total
-            )
-            self.unk_logp = math.log(unk / n_total)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, ns, starts, all_words = [], [], [], []
-            pos = 0
-            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                words = tok.findall(text.lower())
-                if not words:
-                    continue  # SQL's tok CTE has no rows for token-free docs
-                ids.append(did)
-                ns.append(len(words))
-                starts.append(pos)
-                all_words.extend(words)
-                pos += len(words)
-            if not ids:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "n_tokens": pa.array([], pa.int64()),
-                        "logprob": pa.array([], pa.float32()),
-                    }
-                )
-            w = np.array(all_words)
-            idx = np.searchsorted(self.vocab, w)
-            idx_c = np.minimum(idx, len(self.vocab) - 1)
-            lp = np.where(self.vocab[idx_c] == w, self.logp[idx_c], self.unk_logp)
-            sums = np.add.reduceat(lp, np.asarray(starts, dtype=np.int64))
-            means = sums / np.asarray(ns, dtype=np.float64)
+    def score(t: pa.Table) -> pa.Table:
+        # vectorized LM scoring (VERDICT r04 #2): sorted vocab array +
+        # aligned log-prob array, ONE searchsorted over the batch's
+        # concatenated token stream + UNK mask + reduceat per-doc sums.
+        # A plain task map, not an actor pool: the V-row state rebuild is
+        # microseconds (V=16 here, bounded by UNIGRAM_VOCAB at any scale),
+        # while the actor-pool ramp-up cost ~1.5 s of the benched time.
+        tf_map, unk = _ray.get(ref)
+        toks = sorted(tf_map)
+        vocab = np.array(toks)  # fixed-width unicode: C-level compares
+        logp = np.log(
+            np.array([tf_map[w] for w in toks], dtype=np.float64) / n_total
+        )
+        unk_logp = math.log(unk / n_total)
+        ids, ns, starts, all_words = [], [], [], []
+        pos = 0
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = tok.findall(text.lower())
+            if not words:
+                continue  # SQL's tok CTE has no rows for token-free docs
+            ids.append(did)
+            ns.append(len(words))
+            starts.append(pos)
+            all_words.extend(words)
+            pos += len(words)
+        if not ids:
             return pa.table(
                 {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "n_tokens": pa.array(ns, pa.int64()),
-                    "logprob": pa.array(
-                        np.round(means, 4).astype(np.float32), pa.float32()
-                    ),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float32()),
                 }
             )
+        w = np.array(all_words)
+        idx = np.searchsorted(vocab, w)
+        idx_c = np.minimum(idx, len(vocab) - 1)
+        lp = np.where(vocab[idx_c] == w, logp[idx_c], unk_logp)
+        sums = np.add.reduceat(lp, np.asarray(starts, dtype=np.int64))
+        means = sums / np.asarray(ns, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "logprob": pa.array(
+                    np.round(means, 4).astype(np.float32), pa.float32()
+                ),
+            }
+        )
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 SQL_UNIGRAM_LOGPROB = f"""

@@ -111,38 +111,55 @@ def _block_partials(xq: np.ndarray, cq: np.ndarray, k: int):
     return present, counts, sums
 
 
+def _fsl_matrix(col) -> np.ndarray:
+    """(n, dim) int64 matrix from a fixed_size_list<int64> column, zero-copy
+    through the values buffer."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    dim = a.type.list_size
+    return a.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+
+
 def kmeans_fit(ds, k: int, iters: int, id_col: str = "vec_id",
                vec_col: str = "embedding") -> np.ndarray:
     """Lloyd iterations over a Dataset; returns quantized centroids (k, dim)
-    int64. Each pass exchanges only O(blocks x k) partial-sum rows."""
+    int64. Each pass exchanges only O(blocks x k) partial-sum rows.
+
+    The quantized (hash, vector) projection is materialized ONCE into the
+    object store and feeds the seed pass AND every iteration — previously
+    each of the 1 + iters passes re-read the parquet and re-quantized
+    (measured ~0.3 s/pass of the benched kmeans time at sf0.1). Blocks
+    spill if the projection outgrows memory; at extreme scale train on a
+    bounded sample instead (the IVF builder's discipline) and keep the one
+    streaming assignment pass."""
     import ray as _ray
 
     m = seed_sample_size(k)
 
-    def seed_cands(t: pa.Table) -> pa.Table:
+    def prep(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         xq = quantize(_matrix(t, vec_col))
         h = mix64(ids.astype(np.uint64))
-        order = np.argsort(h, kind="stable")[:m]
-        return pa.table(
-            {
-                "h": pa.array(h[order], pa.uint64()),
-                "q": pa.array([xq[i].tobytes() for i in order], pa.binary()),
-            }
+        q = pa.FixedSizeListArray.from_arrays(
+            pa.array(xq.reshape(-1), pa.int64()), xq.shape[1]
         )
+        return pa.table({"h": pa.array(h, pa.uint64()), "q": q})
+
+    qds = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def seed_cands(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.take(np.argsort(h, kind="stable")[:m])
 
     # bottom-m merge of per-block seed candidates (m x blocks tiny rows);
     # seed_from_sample re-takes the global bottom-m, so the union suffices
-    hs: list[int] = []
-    qs: list[bytes] = []
-    for b in ds.map_batches(seed_cands, batch_format="pyarrow").iter_batches(
+    hs: list[np.ndarray] = []
+    qs: list[np.ndarray] = []
+    for b in qds.map_batches(seed_cands, batch_format="pyarrow").iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
-        hs.extend(b["h"].to_pylist())
-        qs.extend(b["q"].to_pylist())
-    cq = seed_from_sample(
-        np.asarray(hs, dtype=np.uint64), np.stack([np.frombuffer(q, np.int64) for q in qs]), k
-    )
+        hs.append(b["h"].to_numpy(zero_copy_only=False))
+        qs.append(_fsl_matrix(b["q"]))
+    cq = seed_from_sample(np.concatenate(hs), np.vstack(qs), k)
 
     for _ in range(iters):
         ref = _ray.put(cq.tobytes())
@@ -150,8 +167,7 @@ def kmeans_fit(ds, k: int, iters: int, id_col: str = "vec_id",
 
         def partial(t: pa.Table, _ref=ref, _dim=dim) -> pa.Table:
             c = np.frombuffer(_ray.get(_ref), np.int64).reshape(-1, _dim)
-            xq = quantize(_matrix(t, vec_col))
-            present, counts, sums = _block_partials(xq, c, len(c))
+            present, counts, sums = _block_partials(_fsl_matrix(t["q"]), c, len(c))
             return pa.table(
                 {
                     "cluster": pa.array(present, pa.int64()),
@@ -164,7 +180,7 @@ def kmeans_fit(ds, k: int, iters: int, id_col: str = "vec_id",
 
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, cq.shape[1]), dtype=np.int64)
-        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        for b in qds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow"
         ):
             cl = b["cluster"].to_numpy(zero_copy_only=False)
