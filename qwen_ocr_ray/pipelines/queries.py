@@ -3033,6 +3033,28 @@ SELECT vec_id, cluster FROM read_parquet('{_ORACLE01}/kmeans_clusters.parquet')
 """
 
 
+KMEANS_SAMPLE = 256  # bounded-sample fit size; binds on every testdata sf
+
+
+def q_kmeans_sampled(sf_dir: str):
+    """The 100 TB k-means shape: fit on a deterministic bounded hash sample
+    (bottom-256 by mix64(vec_id) — mergeable per-block bottom-S, one
+    projection pass over the corpus) then ONE streaming assignment pass —
+    vs `kmeans_clusters`' full-corpus Lloyd (1 + iters passes). Same
+    quantized integer kernels; bit-identical to the sidecar mirror on any
+    block layout."""
+    from qwen_ocr_ray.stages.kmeans import kmeans_assign, kmeans_fit_sample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cq = kmeans_fit_sample(ds, KMEANS_K, KMEANS_ITERS, KMEANS_SAMPLE)
+    return kmeans_assign(ds, cq)
+
+
+SQL_KMEANS_SAMPLED = f"""
+SELECT vec_id, cluster FROM read_parquet('{_ORACLE01}/kmeans_sampled.parquet')
+"""
+
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -3204,6 +3226,7 @@ QUERIES.update(
         "quantiles_by_type": q_quantiles_by_type,
         "unigram_logprob": q_unigram_logprob,
         "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_sampled": q_kmeans_sampled,
         "value_zscores": q_value_zscores,
         "semantic_dedup": q_semantic_dedup,
         "shuffle_shards": q_shuffle_shards,
@@ -3216,6 +3239,7 @@ ORACLE.update(
         "quantiles_by_type": SQL_QUANTILES_BY_TYPE,
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+        "kmeans_sampled": SQL_KMEANS_SAMPLED,
         "value_zscores": SQL_VALUE_ZSCORES,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
@@ -3232,7 +3256,7 @@ ORACLE.update(
 # tail. VERDICT r03 next-steps #3.
 _CERT_PRIORITY = [
     # new this round (r05) — never driver-certified
-    "substring_dedup", "training_prep_semantic",
+    "substring_dedup", "training_prep_semantic", "kmeans_sampled",
     # certified in r03 but rotated out of r04's 50-query sample — back at
     # the head so every query re-certifies on a HEAD build at least every
     # other round (VERDICT r04 next-steps #3)

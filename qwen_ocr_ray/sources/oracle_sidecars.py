@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = 12  # v11: guarded semantic prune; v12: training_prep_semantic
+ORACLE_VERSION = 13  # v12: training_prep_semantic; v13: kmeans_sampled
 
 
 def oracle_tag(sf_dir: str) -> str:
@@ -525,6 +525,36 @@ def expected_kmeans(emb: pa.Table) -> pa.Table:
     )
 
 
+def expected_kmeans_sampled(emb: pa.Table) -> pa.Table:
+    """Mirror of q_kmeans_sampled: one-pass global bottom-S hash sample
+    (== the distributed per-block bottom-S union re-taken to S), local
+    Lloyd, full assignment — same integer kernels, bit-identical."""
+    from qwen_ocr_ray.functions.sketch import mix64
+    from qwen_ocr_ray.pipelines.queries import (
+        KMEANS_ITERS, KMEANS_K, KMEANS_SAMPLE,
+    )
+    from qwen_ocr_ray.stages.kmeans import (
+        _block_partials, assign_clusters, quantize, seed_from_sample,
+        update_centroids,
+    )
+
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    xq = quantize(m)
+    h = mix64(ids.astype(np.uint64))
+    take = np.argsort(h, kind="stable")[:KMEANS_SAMPLE]
+    cq = seed_from_sample(h[take], xq[take], KMEANS_K)
+    for _ in range(KMEANS_ITERS):
+        _, counts, sums = _block_partials(xq[take], cq, KMEANS_K)
+        cq = update_centroids(cq, counts, sums)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(assign_clusters(xq, cq), pa.int64()),
+        }
+    )
+
+
 def expected_weighted_sample(sf_dir: str) -> pa.Table:
     """Single-process mirror of q_weighted_sample: same hash-uniform key
     kernel (u^(1/w)), same (-key, doc_id) order, same top-k — bit-identical
@@ -610,6 +640,7 @@ def ensure_oracle_sidecars(sf_dir: str, cache_root: str = "/tmp/qor_oracle") -> 
         "bloom_kept.parquet": expected_bloom_kept(docs),
         "domain_partitions.parquet": expected_domain_partitions(pages_path),
         "kmeans_clusters.parquet": expected_kmeans(emb),
+        "kmeans_sampled.parquet": expected_kmeans_sampled(emb),
         "semantic_dedup_kept.parquet": expected_semantic_dedup(emb),
         "weighted_sample.parquet": expected_weighted_sample(sf_dir),
         **expected_sketches(sf_dir),

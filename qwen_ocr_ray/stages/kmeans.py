@@ -191,6 +191,47 @@ def kmeans_fit(ds, k: int, iters: int, id_col: str = "vec_id",
     return cq
 
 
+def kmeans_fit_sample(ds, k: int, iters: int, sample_size: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> np.ndarray:
+    """The 100 TB k-means fit: Lloyd on a DETERMINISTIC bounded sample (the
+    bottom-``sample_size`` rows by id hash — mergeable: per-block bottom-S
+    union re-taken to S equals the one-pass global bottom-S), then the
+    caller runs ONE streaming ``kmeans_assign`` pass. Training cost is one
+    projection pass over the corpus + O(S) driver work, instead of
+    ``kmeans_fit``'s 1 + iters full passes. Same quantized integer kernels,
+    so the result is bit-identical to a single-process mirror on any block
+    layout, and hash sampling makes the sample itself invariant to
+    splits/retries/resume."""
+    s = int(sample_size)
+
+    def cands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        xq = quantize(_matrix(t, vec_col))
+        h = mix64(ids.astype(np.uint64))
+        order = np.argsort(h, kind="stable")[:s]
+        q = pa.FixedSizeListArray.from_arrays(
+            pa.array(xq[order].reshape(-1), pa.int64()), xq.shape[1]
+        )
+        return pa.table({"h": pa.array(h[order], pa.uint64()), "q": q})
+
+    hs: list[np.ndarray] = []
+    qs: list[np.ndarray] = []
+    for b in ds.map_batches(cands, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        hs.append(b["h"].to_numpy(zero_copy_only=False))
+        qs.append(_fsl_matrix(b["q"]))
+    h = np.concatenate(hs)
+    take = np.argsort(h, kind="stable")[:s]  # global bottom-S re-take
+    xq = np.vstack(qs)[take]
+    cq = seed_from_sample(h[take], xq, k)
+    for _ in range(iters):
+        present, counts, sums = _block_partials(xq, cq, k)
+        cq = update_centroids(cq, counts, sums)
+    return cq
+
+
 def kmeans_assign(ds, cq: np.ndarray, id_col: str = "vec_id",
                   vec_col: str = "embedding"):
     """One streaming assignment pass: rows ``{vec_id, cluster}``."""

@@ -229,6 +229,21 @@ class TestBlockSplitInvariance:
         cq9 = kmeans_fit(ray.data.from_arrow(t).repartition(9), 10, 3)
         assert (cq2 == cq9).all()
 
+    def test_sampled_fit_identical_across_block_layouts(self, ray_session):
+        """The bounded-sample fit (the 100 TB path) is layout-invariant too:
+        per-block bottom-S union re-taken to S == one-pass bottom-S."""
+        import ray.data
+
+        from qwen_ocr_ray.stages.kmeans import kmeans_fit_sample
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        cq2 = kmeans_fit_sample(ray.data.from_arrow(t).repartition(2), 10, 3, 128)
+        cq9 = kmeans_fit_sample(ray.data.from_arrow(t).repartition(9), 10, 3, 128)
+        assert (cq2 == cq9).all()
+
 
 class TestSemanticVsExactPairs:
     def test_drops_are_larger_members_of_exact_pairs(self, ray_session):
