@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "weighted_sample",
     "substring_dedup",
+    "kmeans_sampled",
+    "dsir_weights",
 ]
 
 

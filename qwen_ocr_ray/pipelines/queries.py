@@ -3007,6 +3007,151 @@ GROUP BY t.doc_id
 """
 
 
+DSIR_TARGET_LANG = "en"  # the target distribution for importance weights
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. '23, "Data Selection for
+    Language Models via Importance Resampling"), unigram form: score every
+    document by mean ln(p_target(w) / p_background(w)) where the target LM
+    is trained on the lang='en' slice and the background on the whole
+    corpus. ONE counting pass trains both LMs (per-batch combiner emits
+    (token, c_all, c_tgt) partials; grouped_sums finishes), the vocabulary
+    is capped to the top-V background tokens with UNK buckets on both sides
+    (bounded broadcast at any corpus size — the unigram_logprob
+    discipline), add-1 smoothing over V+1 classes keeps target-absent
+    tokens finite, and scoring is the vectorized searchsorted task map.
+    Docs above a weight threshold are the DSIR-selected training set; the
+    weights are the operator, selection is a trivial filter."""
+    import math
+
+    import ray as _ray
+
+    from qwen_ocr_ray.functions.text_hash import _TOKEN_RE as tok
+    from qwen_ocr_ray.stages.agg import grouped_sums
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    V = UNIGRAM_VOCAB
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        import collections
+
+        c_all: collections.Counter = collections.Counter()
+        c_tgt: collections.Counter = collections.Counter()
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            words = tok.findall(text.lower())
+            c_all.update(words)
+            if lang == DSIR_TARGET_LANG:
+                c_tgt.update(words)
+        toks = sorted(c_all)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "c_all": pa.array([c_all[w] for w in toks], pa.int64()),
+                "c_tgt": pa.array([c_tgt[w] for w in toks], pa.int64()),
+            }
+        )
+
+    tft = grouped_sums(
+        ds.map_batches(partial_tf, batch_format="pyarrow"),
+        keys=["token"], sum_cols={"c_all": "c_all", "c_tgt": "c_tgt"},
+    ).materialize()
+    n_all = float(tft.sum("c_all"))
+    n_tgt = float(tft.sum("c_tgt"))
+    topv = tft.sort(["c_all", "token"], descending=[True, False]).limit(V).take_all()
+    cmap = {r["token"]: (r["c_tgt"], r["c_all"]) for r in topv}
+    u_tgt = n_tgt - float(sum(ct for ct, _ in cmap.values()))
+    u_all = n_all - float(sum(ca for _, ca in cmap.values()))
+    ref = _ray.put((cmap, u_tgt, u_all))
+
+    def score(t: pa.Table) -> pa.Table:
+        cm, ut, ua = _ray.get(ref)
+        toks_sorted = sorted(cm)
+        vocab = np.array(toks_sorted)
+        # mirror the SQL arithmetic exactly: ln(A / B) of the two smoothed
+        # division results; only the final ln differs in the last ulp,
+        # absorbed by round(4)->float32 on both sides
+        ratio = np.array(
+            [
+                ((cm[w][0] + 1) / (n_tgt + V + 1))
+                / ((cm[w][1] + 1) / (n_all + V + 1))
+                for w in toks_sorted
+            ],
+            dtype=np.float64,
+        )
+        logr = np.log(ratio)
+        unk_logr = math.log(
+            ((ut + 1) / (n_tgt + V + 1)) / ((ua + 1) / (n_all + V + 1))
+        )
+        ids, ns, starts, all_words = [], [], [], []
+        pos = 0
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = tok.findall(text.lower())
+            if not words:
+                continue
+            ids.append(did)
+            ns.append(len(words))
+            starts.append(pos)
+            all_words.extend(words)
+            pos += len(words)
+        if not ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "dsir_logratio": pa.array([], pa.float32()),
+                }
+            )
+        w = np.array(all_words)
+        idx = np.searchsorted(vocab, w)
+        idx_c = np.minimum(idx, len(vocab) - 1)
+        lp = np.where(vocab[idx_c] == w, logr[idx_c], unk_logr)
+        sums = np.add.reduceat(lp, np.asarray(starts, dtype=np.int64))
+        means = sums / np.asarray(ns, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "dsir_logratio": pa.array(
+                    np.round(means, 4).astype(np.float32), pa.float32()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, COUNT(*) AS c_all,
+         COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS c_tgt
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+         CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS DOUBLE) AS n_tgt
+  FROM tok
+),
+vocab AS (SELECT token, c_all, c_tgt FROM cnt ORDER BY c_all DESC, token LIMIT {UNIGRAM_VOCAB}),
+unk AS (
+  SELECT (SELECT SUM(c_all) FROM cnt) - (SELECT SUM(c_all) FROM vocab) AS u_all,
+         (SELECT SUM(c_tgt) FROM cnt) - (SELECT SUM(c_tgt) FROM vocab) AS u_tgt
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(ROUND(SUM(ln(
+           ((COALESCE(v.c_tgt, unk.u_tgt) + 1) / (tot.n_tgt + {UNIGRAM_VOCAB + 1}))
+         / ((COALESCE(v.c_all, unk.u_all) + 1) / (tot.n_all + {UNIGRAM_VOCAB + 1}))
+       )) / COUNT(*), 4) AS REAL) AS dsir_logratio
+FROM tok t LEFT JOIN vocab v USING (token), tot, unk
+GROUP BY t.doc_id
+"""
+
+
 KMEANS_K = 10
 KMEANS_ITERS = 5
 
@@ -3227,6 +3372,7 @@ QUERIES.update(
         "unigram_logprob": q_unigram_logprob,
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_sampled": q_kmeans_sampled,
+        "dsir_weights": q_dsir_weights,
         "value_zscores": q_value_zscores,
         "semantic_dedup": q_semantic_dedup,
         "shuffle_shards": q_shuffle_shards,
@@ -3240,6 +3386,7 @@ ORACLE.update(
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "kmeans_clusters": SQL_KMEANS_CLUSTERS,
         "kmeans_sampled": SQL_KMEANS_SAMPLED,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
         "value_zscores": SQL_VALUE_ZSCORES,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
@@ -3257,6 +3404,7 @@ ORACLE.update(
 _CERT_PRIORITY = [
     # new this round (r05) — never driver-certified
     "substring_dedup", "training_prep_semantic", "kmeans_sampled",
+    "dsir_weights",
     # certified in r03 but rotated out of r04's 50-query sample — back at
     # the head so every query re-certifies on a HEAD build at least every
     # other round (VERDICT r04 next-steps #3)

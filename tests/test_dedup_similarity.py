@@ -779,6 +779,31 @@ class TestSubstringDupStats:
         assert 20 not in got  # short doc emits nothing
 
 
+class TestDsirWeights:
+    def test_target_language_scores_higher(self, ray_session):
+        """DSIR semantics: with the target LM trained on the en slice,
+        en documents must get a higher mean importance weight than zh
+        documents (whose tokens fall mostly in the UNK/background mass)."""
+        import pyarrow.parquet as pq_
+
+        from qwen_ocr_ray.pipelines.queries import q_dsir_weights
+
+        sf = "/root/testdata/sf0.001"
+        w = {r["doc_id"]: r["dsir_logratio"] for r in q_dsir_weights(sf).take_all()}
+        langs = pq_.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "lang"]
+        )
+        by_lang: dict = {}
+        for did, lang in zip(
+            langs["doc_id"].to_pylist(), langs["lang"].to_pylist()
+        ):
+            if did in w:
+                by_lang.setdefault(lang, []).append(w[did])
+        mean = {l: sum(v) / len(v) for l, v in by_lang.items()}
+        assert mean["en"] > mean["zh"]
+        assert mean["en"] > 0  # target docs are up-weighted on average
+
+
 class TestSubstringDedup:
     """Exact-substring REMOVAL (VERDICT r04 #4): keep the corpus-wide first
     occurrence, cut later >=width-gram runs — planted-span e2e."""
