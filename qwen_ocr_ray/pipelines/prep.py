@@ -155,7 +155,8 @@ def _semantic_stage(reps, embeddings_path: str, *, k: int, iters: int,
         pa.schema([("doc_id", pa.int64()),
                    ("embedding", pa.list_(pa.float32()))]),
         num_buckets=num_buckets,
-    )
+    ).materialize()  # two consumers (kmeans_fit, tag/prune) — without this
+    # the bucketed embed-join, the stage's most expensive exchange, re-runs
     dropped = set(
         r["doc_id"]
         for r in semantic_dropped_ids(

@@ -2590,7 +2590,10 @@ GROUP BY wd.doc_id
 """
 
 
-HH_PHI = 1.0 / 150.0  # heavy-hitter frequency threshold
+HH_DENOM = 150  # single source of the heavy-hitter threshold (phi = 1/denom):
+HH_PHI = 1.0 / HH_DENOM  # pass-1 candidates, the exact cutoff, and the SQL
+# oracle all derive from HH_DENOM so tuning one cannot break the pigeonhole
+# superset guarantee (ADVICE r05 follow-up)
 
 
 def q_heavy_hitters(sf_dir: str):
@@ -2623,9 +2626,9 @@ def q_heavy_hitters(sf_dir: str):
         cand_ids.update(b["user_id"].to_pylist())
 
     n_total = pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
-    # int / 150.0 — the EXACT double the SQL oracle computes (COUNT(*)/150.0);
-    # n * fl(1/150) differs in the last ulp for ~half of n (ADVICE r04)
-    cutoff = n_total / 150.0
+    # int / float(denom) — the EXACT double the SQL oracle computes
+    # (COUNT(*)/150.0); n * fl(1/150) differs in the last ulp (ADVICE r04)
+    cutoff = n_total / float(HH_DENOM)
     ref = _ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def keep_candidates(t: pa.Table) -> pa.Table:
@@ -2642,10 +2645,10 @@ def q_heavy_hitters(sf_dir: str):
     )
 
 
-SQL_HEAVY_HITTERS = """
+SQL_HEAVY_HITTERS = f"""
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
-HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 150.0
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / {HH_DENOM}.0
 """
 
 

@@ -447,18 +447,32 @@ def ivf_index_append(
     partitions — corpus growth costs one pass over the NEW rows, not a full
     index rebuild. Cell membership is a pure function of (row, centroids),
     so an appended index is query-identical to a fresh full build over the
-    union; readers just see more files per cell directory.
+    union; readers just see extra ``append-<key>/`` subdirs per cell (the
+    reader walks cell dirs recursively).
 
-    Files land under a unique per-call prefix (pid + monotonic counter), so
-    concurrent appends never collide; the append is atomic per file
-    (os.replace from a staging dir inside the index volume). The index must
-    already be published (``_SUCCESS`` present)."""
+    Crash-safe and IDEMPOTENT, keyed on the source table's identity
+    (path|size|mtime_ns): each cell's contribution publishes atomically
+    (one os.rename of a complete per-cell dir), an already-published cell
+    is skipped on retry (its content is a deterministic function of
+    (rows, centroids), so skipping is exact), and a ``_APPEND_<key>``
+    marker — written only after every cell landed — makes a repeat call a
+    no-op. A crash mid-append therefore leaves some cells appended and the
+    marker absent; the retry completes the rest without duplicating rows.
+    The index must already be published (``_SUCCESS`` present)."""
+    import hashlib
     import os
     import shutil
 
     marker = os.path.join(index_dir, "_SUCCESS")
     if not os.path.exists(marker):
         raise FileNotFoundError(f"no published IVF index at {index_dir}")
+    st = os.stat(path_new)
+    key = hashlib.md5(
+        f"{os.path.abspath(path_new)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    done = os.path.join(index_dir, f"_APPEND_{key}")
+    if os.path.exists(done):
+        return index_dir
     from qwen_ocr_ray.pipelines.extract import sized_read_parquet
 
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
@@ -469,27 +483,26 @@ def ivf_index_append(
         cell = (m @ cents.T).argmax(axis=1).astype(np.int32)
         return t.append_column("cell", pa.array(cell, pa.int32()))
 
-    tmp = os.path.join(index_dir, f"_append.{os.getpid()}")
+    tmp = os.path.join(index_dir, f"_append.{key}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     (
         sized_read_parquet(path_new, columns=[id_col, "embedding"])
         .map_batches(assign, batch_format="pyarrow")
         .write_parquet(tmp, partition_cols=["cell"])
     )
-    n = 0
     for cell_dir in sorted(os.listdir(tmp)):
         src = os.path.join(tmp, cell_dir)
         if not (os.path.isdir(src) and cell_dir.startswith("cell=")):
             continue
-        dst = os.path.join(index_dir, cell_dir)
-        os.makedirs(dst, exist_ok=True)
-        for f in sorted(os.listdir(src)):
-            os.replace(
-                os.path.join(src, f),
-                os.path.join(dst, f"append-{os.getpid()}-{n}-{f}"),
-            )
-            n += 1
+        dst_cell = os.path.join(index_dir, cell_dir)
+        os.makedirs(dst_cell, exist_ok=True)
+        dst = os.path.join(dst_cell, f"append-{key}")
+        if os.path.isdir(dst):
+            continue  # published by an earlier attempt — content identical
+        os.rename(src, dst)  # atomic per-cell publish
     shutil.rmtree(tmp, ignore_errors=True)
+    with open(done, "w") as f:
+        f.write("ok\n")
     return index_dir
 
 

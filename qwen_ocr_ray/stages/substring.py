@@ -154,6 +154,17 @@ def shingle_occurrence_batch(
         sh = shingle_position_hashes(text, width)
         if len(sh) == 0:
             continue
+        # Guard the packing preconditions EXPLICITLY: an overflow would
+        # alias (doc, pos) onto a neighboring doc — and the SQL oracle
+        # packs identically, so conformance would mask the corruption (the
+        # same failure mode kmeans.quantize raises on). 2^43 docs x 2^20
+        # positions fills int64.
+        if len(sh) >= POS_LIM or not (0 <= doc_id < (1 << 43)):
+            raise ValueError(
+                f"substring packing overflow: doc {doc_id} has {len(sh)} "
+                f"shingle positions (limit {POS_LIM}) or id out of [0, 2^43)"
+                " — raise POS_LIM or split the document"
+            )
         sh_out.append(sh.view(np.int64))
         key_out.append(doc_id * POS_LIM + np.arange(len(sh), dtype=np.int64))
     if not sh_out:
@@ -168,13 +179,13 @@ def shingle_occurrence_batch(
     )
 
 
-def dup_occurrences_in_bucket(t: pa.Table) -> pa.Table:
-    """One shingle-hash bucket -> (doc_id, pos) of every NON-FIRST occurrence
+def dup_occurrences_in_bucket(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """One shingle-hash bucket -> (id, pos) of every NON-FIRST occurrence
     (first = min packed key corpus-wide; all occurrences of a hash land in
     this bucket, so the min is global)."""
     if t.num_rows == 0:
         return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int32())}
+            {id_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int32())}
         )
     if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
@@ -184,26 +195,26 @@ def dup_occurrences_in_bucket(t: pa.Table) -> pa.Table:
     keys = d["dockey"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "doc_id": pa.array(keys // POS_LIM, pa.int64()),
+            id_col: pa.array(keys // POS_LIM, pa.int64()),
             "pos": pa.array((keys % POS_LIM).astype(np.int32), pa.int32()),
         }
     )
 
 
-def _starts_lists_in_bucket(t: pa.Table) -> pa.Table:
-    """(doc_id, pos) dup rows -> one (doc_id, starts: list<int32>) row per
-    doc. Cells are small int lists — safe through map_groups."""
+def _starts_lists_in_bucket(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(id, pos) dup rows -> one (id, starts: list<int32>) row per doc.
+    Cells are small int lists — safe through map_groups."""
     if t.num_rows == 0:
         return pa.table(
             {
-                "doc_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
                 "starts": pa.array([], pa.list_(pa.int32())),
             }
         )
     if "bucket" in t.column_names:
         t = t.drop_columns(["bucket"])
-    g = t.group_by(["doc_id"]).aggregate([("pos", "list")])
-    return pa.table({"doc_id": g["doc_id"], "starts": g["pos_list"]})
+    g = t.group_by([id_col]).aggregate([("pos", "list")])
+    return pa.table({id_col: g[id_col], "starts": g["pos_list"]})
 
 
 def _cut_batch(
@@ -251,6 +262,7 @@ def substring_dedup(
     ds, *, width: int = 8, num_buckets: int = 16,
     id_col: str = "doc_id", text_col: str = "text",
     strategy: str = "broadcast", approx_rows: int | None = None,
+    tmp_dir: str | None = None,
 ):
     """Exact-substring REMOVAL (Lee et al. '22 completed — the companion to
     ``substring_dup_stats``): keep the corpus-wide FIRST occurrence of every
@@ -260,11 +272,21 @@ def substring_dedup(
     Shape: the shingle-occurrence stream (16-byte rows) exchanges once by
     gram hash to find non-first occurrences; the surviving (doc, start)
     evidence — sized by the corpus's DUPLICATED mass, not the corpus —
-    folds to per-doc start lists. ``strategy="broadcast"`` ships that
-    evidence once via ray.put and streams documents through a pure map (the
-    contested-winners discipline of the flagship's URL dedup);
-    ``strategy="join"`` keeps it fully distributed with a bucketed LEFT
-    hash join (text payload rides exactly one exchange).
+    folds to per-doc start lists. Three ways to land it on the text:
+
+    * ``strategy="broadcast"`` (default): the evidence ships once via
+      ray.put and documents stream through a pure map — the
+      contested-winners discipline of the flagship's URL dedup.
+    * ``strategy="join"``: a bucketed LEFT hash join. Fully distributed,
+      but the text payload rides an in-memory ``groupby().map_groups``
+      exchange — measured pathological on THIS VM for GB-scale string
+      cells (CLAUDE.md); fine for moderate payloads.
+    * ``strategy="disk"``: the 100 TB fallback, mirroring the flagship's
+      dedup exchange — both sides write bucket-partitioned parquet (a
+      per-task local partition, NO shuffle), then one raw Ray task per
+      bucket joins its two bucket files and cuts. Payload bytes hit disk
+      once and never ride a map_groups exchange. Scratch goes under
+      ``tmp_dir`` (default ``/tmp/qor_subdedup/<pid>``).
     """
     import ray as _ray
 
@@ -279,17 +301,26 @@ def substring_dedup(
             lambda t: add_bucket_column(t, "sh", num_buckets), batch_format="pyarrow"
         )
         .groupby("bucket")
-        .map_groups(dup_occurrences_in_bucket, batch_format="pyarrow")
+        .map_groups(
+            lambda t: dup_occurrences_in_bucket(t, id_col), batch_format="pyarrow"
+        )
     )
     starts = (
         dups.map_batches(
-            lambda t: add_bucket_column(t, "doc_id", num_buckets),
+            lambda t: add_bucket_column(t, id_col, num_buckets),
             batch_format="pyarrow",
         )
         .groupby("bucket")
-        .map_groups(_starts_lists_in_bucket, batch_format="pyarrow")
+        .map_groups(
+            lambda t: _starts_lists_in_bucket(t, id_col), batch_format="pyarrow"
+        )
     )
 
+    if strategy == "disk":
+        return _cut_via_disk_exchange(
+            ds, starts, width=width, id_col=id_col, text_col=text_col,
+            num_buckets=num_buckets, tmp_dir=tmp_dir,
+        )
     if strategy == "join":
         from qwen_ocr_ray.stages.join import bucketed_hash_join
 
@@ -301,7 +332,7 @@ def substring_dedup(
             id_col,
             pa.schema([(id_col, pa.int64()), (text_col, pa.string())]),
             pa.schema(
-                [("doc_id", pa.int64()), ("starts", pa.list_(pa.int32()))]
+                [(id_col, pa.int64()), ("starts", pa.list_(pa.int32()))]
             ),
             how="left",
             approx_rows=approx_rows,
@@ -319,7 +350,7 @@ def substring_dedup(
     # broadcast: collect the bounded (doc_id -> starts) evidence once
     evidence: dict[int, np.ndarray] = {}
     for b in starts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for did, st in zip(b["doc_id"].to_pylist(), b["starts"].to_pylist()):
+        for did, st in zip(b[id_col].to_pylist(), b["starts"].to_pylist()):
             evidence[did] = np.asarray(st, dtype=np.int64)
     ref = _ray.put(evidence)
 
@@ -341,3 +372,60 @@ def _cut_rowwise(t: pa.Table, starts_list, *, width: int, id_col: str,
         t, lambda _did, i: starts_list[i],
         width=width, id_col=id_col, text_col=text_col,
     )
+
+
+def _cut_via_disk_exchange(ds, starts, *, width: int, id_col: str,
+                           text_col: str, num_buckets: int,
+                           tmp_dir: str | None) -> "object":
+    """The flagship-exchange form of the removal join: both sides write
+    bucket-partitioned parquet (``partition_cols`` is a per-task LOCAL
+    partition — no shuffle, payload bytes hit disk exactly once), then one
+    raw Ray task per bucket reads its two bucket directories, builds the
+    evidence dict (bucket-bounded), and cuts — the text never rides a
+    ``groupby().map_groups`` exchange (CLAUDE.md's measured pathology).
+    Returns a Dataset over the per-bucket result tables."""
+    import os
+    import shutil
+
+    import ray as _ray
+
+    base = tmp_dir or f"/tmp/qor_subdedup/{os.getpid()}"
+    docs_dir = os.path.join(base, "docs")
+    starts_dir = os.path.join(base, "starts")
+    shutil.rmtree(base, ignore_errors=True)
+    ds.map_batches(
+        lambda t: add_bucket_column(
+            t.select([id_col, text_col]), id_col, num_buckets
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(docs_dir, partition_cols=["bucket"])
+    starts.map_batches(
+        lambda t: add_bucket_column(t, id_col, num_buckets),
+        batch_format="pyarrow",
+    ).write_parquet(starts_dir, partition_cols=["bucket"])
+
+    @_ray.remote
+    def cut_bucket(db: str, sb: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(db)
+        ev: dict[int, np.ndarray] = {}
+        if os.path.isdir(sb):
+            st = pq.read_table(sb)
+            for did, s in zip(st[id_col].to_pylist(), st["starts"].to_pylist()):
+                ev[did] = np.asarray(s, dtype=np.int64)
+        return _cut_batch(
+            docs, lambda did, _i: ev.get(did),
+            width=width, id_col=id_col, text_col=text_col,
+        )
+
+    refs = [
+        cut_bucket.remote(
+            os.path.join(docs_dir, d), os.path.join(starts_dir, d)
+        )
+        for d in sorted(os.listdir(docs_dir))
+        if d.startswith("bucket=")
+    ]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(refs)

@@ -851,7 +851,7 @@ class TestSubstringDedup:
         # untouched docs pass through whole
         assert got[5]["n_removed"] == 0 and got[5]["n_words"] == 40
 
-    def test_join_strategy_matches_broadcast(self, ray_session):
+    def test_join_and_disk_strategies_match_broadcast(self, ray_session, tmp_path):
         from qwen_ocr_ray.stages.substring import substring_dedup
 
         docs, _, _ = self._fixture()
@@ -872,7 +872,16 @@ class TestSubstringDedup:
                 ).take_all(),
             )
         )
-        assert a == b and len(a) == 21
+        c = sorted(
+            map(
+                key,
+                substring_dedup(
+                    ds, num_buckets=4, strategy="disk",
+                    tmp_dir=str(tmp_path / "ex"),
+                ).take_all(),
+            )
+        )
+        assert a == b == c and len(a) == 21
 
 
 class TestBloomIncrementalDedup:

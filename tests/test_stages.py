@@ -549,6 +549,20 @@ class TestIvfIndexed:
         )
         assert not [d for d in os.listdir(idx) if d.startswith("_append.")]
 
+        # idempotency: a repeat append is a no-op (marker short-circuit),
+        # and a retry after a "crash" that lost the marker but kept the
+        # published cells must not duplicate rows either
+        q = all_vecs[250]
+        before = ivf_topk_indexed(idx, q, k=8, centroids=cents, nprobe=6).to_pandas()
+        ivf_index_append(idx, pb_path, cents)
+        markers = [d for d in os.listdir(idx) if d.startswith("_APPEND_")]
+        assert len(markers) == 1
+        os.remove(os.path.join(idx, markers[0]))  # simulate crash-lost marker
+        ivf_index_append(idx, pb_path, cents)
+        after = ivf_topk_indexed(idx, q, k=8, centroids=cents, nprobe=6).to_pandas()
+        assert before.vec_id.tolist() == after.vec_id.tolist()
+        assert len(set(after.vec_id)) == len(after)  # no duplicated rows
+
     def test_append_requires_published_index(self, ray_session, tmp_path):
         import numpy as np
         import pytest
