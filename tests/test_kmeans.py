@@ -143,6 +143,37 @@ class TestHotClusterGuard:
         assert 50 not in got and 51 not in got and 200 not in got
         assert 250 in got and 251 in got
 
+    def test_guard_equals_naive_property(self):
+        """Hypothesis sweep of the unchunked equivalence: random row counts,
+        dims, duplicate patterns and thresholds — the guarded kernel must
+        equal the naive O(n^2) rule whenever max_group doesn't bind."""
+        from hypothesis import given, settings, strategies as st
+
+        from qwen_ocr_ray.stages.kmeans import semantic_prune_cluster
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            seed=st.integers(0, 10_000),
+            n=st.integers(2, 60),
+            dim=st.integers(2, 9),
+            th=st.sampled_from([0.3, 0.7, 0.95, 1.0]),
+            ndup=st.integers(0, 5),
+            nzero=st.integers(0, 2),
+        )
+        def check(seed, n, dim, th, ndup, nzero):
+            rng = np.random.RandomState(seed)
+            m = rng.normal(size=(n, dim))
+            for j in range(min(ndup, n - 1)):
+                m[rng.randint(1, n)] = m[rng.randint(0, n)]  # byte-dups
+            for j in range(min(nzero, n)):
+                m[rng.randint(0, n)] = 0.0
+            ids = np.arange(n, dtype=np.int64)
+            got = semantic_prune_cluster(ids, m.copy(), th)
+            exp = TestHotClusterGuard._naive(ids, m.copy(), th)
+            assert (got == exp).all(), (seed, n, dim, th)
+
+        check()
+
     def test_mega_cluster_bounded_star_and_chunks(self):
         from qwen_ocr_ray.stages.kmeans import semantic_prune_cluster
 
