@@ -1925,31 +1925,31 @@ def q_tfidf_top_terms(sf_dir: str):
         df_map.update(zip(b["token"].to_pylist(), b["df"].to_pylist()))
     ref = _ray.put(df_map)
 
-    class Score:
-        def __init__(self):
-            self.df = _ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, terms, scores = [], [], []
-            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                tf = collections.Counter(tok.findall(text.lower()))
-                canon = sorted(
-                    (-float(np.float32(round(c * math.log(n_docs / self.df[w]), 4))), w)
-                    for w, c in tf.items()
-                )
-                for neg, w in canon[:TFIDF_TOP]:
-                    ids.append(did)
-                    terms.append(w)
-                    scores.append(-neg)
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "term": pa.array(terms, pa.string()),
-                    "score": pa.array(scores, pa.float32()),
-                }
+    def score(t: pa.Table) -> pa.Table:
+        # task map, not an actor pool: the broadcast df dict resolves per
+        # task from the local object store; actor ramp cost ~1.5 s/stage
+        # on this VM (CLAUDE.md; same fix as unigram/decontaminate r05)
+        df = _ray.get(ref)
+        ids, terms, scores = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tf = collections.Counter(tok.findall(text.lower()))
+            canon = sorted(
+                (-float(np.float32(round(c * math.log(n_docs / df[w]), 4))), w)
+                for w, c in tf.items()
             )
+            for neg, w in canon[:TFIDF_TOP]:
+                ids.append(did)
+                terms.append(w)
+                scores.append(-neg)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "score": pa.array(scores, pa.float32()),
+            }
+        )
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 SQL_TFIDF_TOP_TERMS = f"""

@@ -72,30 +72,25 @@ def decontaminate(train_ds, eval_hashes_ref, n: int = 8):
     ``ray.put`` handle to the sorted hash array from ``eval_ngram_hashes``.
     """
 
-    class Probe:
-        """Stateless probe; the broadcast array is resolved once per task
-        from the object store (zero-copy numpy view)."""
+    def probe(t: pa.Table) -> pa.Table:
+        # plain TASK map, not an actor pool: the broadcast array resolves
+        # per task from the LOCAL object store (zero-copy numpy view,
+        # microseconds), while an actor pool pays ~1.5 s ramp-up per stage
+        # on this VM (CLAUDE.md; same fix as unigram_logprob r05)
+        ev = ray.get(eval_hashes_ref)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for i, text in enumerate(t["text"].to_pylist()):
+            hs = _doc_gram_hashes(text, n)  # already unique
+            if len(hs) and len(ev):
+                idx = np.searchsorted(ev, hs)
+                idx[idx == len(ev)] = 0
+                hits[i] = int(np.count_nonzero(ev[idx] == hs))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0, pa.bool_()),
+            }
+        )
 
-        def __init__(self):
-            self.eval_hashes = ray.get(eval_hashes_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ev = self.eval_hashes
-            hits = np.zeros(t.num_rows, dtype=np.int64)
-            for i, text in enumerate(t["text"].to_pylist()):
-                hs = _doc_gram_hashes(text, n)  # already unique
-                if len(hs) and len(ev):
-                    idx = np.searchsorted(ev, hs)
-                    idx[idx == len(ev)] = 0
-                    hits[i] = int(np.count_nonzero(ev[idx] == hs))
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "n_hits": pa.array(hits, pa.int64()),
-                    "contaminated": pa.array(hits > 0, pa.bool_()),
-                }
-            )
-
-    # concurrency: plain task pool; Probe is cheap to construct (one ray.get
-    # that hits the local object store) and tasks inherit read parallelism
-    return train_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return train_ds.map_batches(probe, batch_format="pyarrow")
