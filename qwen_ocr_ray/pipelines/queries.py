@@ -2558,6 +2558,25 @@ def q_substring_dedup(sf_dir: str):
     )
 
 
+def q_substring_dedup_disk(sf_dir: str):
+    """The disk-exchange form of `substring_dedup` (the 100 TB fallback:
+    both sides write bucket-partitioned parquet, one raw cut task per
+    bucket — text never rides a map_groups exchange). Same semantics, same
+    SQL oracle; registering it separately driver-certifies the scale path
+    independently of the broadcast default."""
+    import hashlib
+
+    from qwen_ocr_ray.stages.substring import substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return substring_dedup(
+        ds, width=SUBSTRING_WIDTH,
+        num_buckets=_auto_buckets(sf_dir, "documents", rows_per_bucket=25_000),
+        strategy="disk", tmp_dir=f"/tmp/qor_subdedup/q_{tag}",
+    )
+
+
 # POS_LIM mirrors stages/substring.py: packed first-occurrence key
 SQL_SUBSTRING_DEDUP = f"""
 WITH w AS (
@@ -2819,6 +2838,7 @@ QUERIES.update(
     {
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup": q_substring_dedup,
+        "substring_dedup_disk": q_substring_dedup_disk,
         "heavy_hitters": q_heavy_hitters,
         "stratified_sample": q_stratified_sample,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2831,6 +2851,7 @@ ORACLE.update(
         "approx_distinct_by_type": SQL_APPROX_DISTINCT_BY_TYPE,
         "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
         "substring_dedup": SQL_SUBSTRING_DEDUP,
+        "substring_dedup_disk": SQL_SUBSTRING_DEDUP,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
@@ -3407,7 +3428,7 @@ ORACLE.update(
 _CERT_PRIORITY = [
     # new this round (r05) — never driver-certified
     "substring_dedup", "training_prep_semantic", "kmeans_sampled",
-    "dsir_weights",
+    "dsir_weights", "substring_dedup_disk",
     # certified in r03 but rotated out of r04's 50-query sample — back at
     # the head so every query re-certifies on a HEAD build at least every
     # other round (VERDICT r04 next-steps #3)
